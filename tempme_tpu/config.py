@@ -1,0 +1,131 @@
+"""Configuration tree for the tempme_tpu framework.
+
+One config source replaces the reference's per-driver argparse flags and the
+6x-duplicated ``degree_dict`` (reference: learn_base.py:24, temp_exp_main.py:28,
+enhance_main.py:54, utils/null_model.py:10, processed/data_preprocess.py:18).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# Per-dataset neighbor counts (reference learn_base.py:24).
+DEGREE_DICT = {
+    "wikipedia": 20,
+    "reddit": 20,
+    "uci": 30,
+    "mooc": 60,
+    "enron": 30,
+    "enron_sampled": 30,
+    "canparl": 30,
+    "uslegis": 30,
+    "uslegis_sampled": 30,
+}
+
+# Ratio sweep used by the explainer's threshold_test (temp_exp_main.py:699).
+DEFAULT_RATIOS = (0.01, 0.02, 0.04, 0.06, 0.08, 0.10, 0.12, 0.14,
+                  0.16, 0.18, 0.20, 0.22, 0.24, 0.26, 0.28, 0.30)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset + split configuration (reference learn_base.py:84-152)."""
+    name: str = "uslegis_sampled"
+    data_dir: str = ""                    # directory holding ml_{name}.csv / .npy
+    val_quantile: float = 0.70
+    test_quantile: float = 0.85
+    mask_frac: float = 0.10               # fraction of nodes masked as "new"
+    split_seed: int = 2023                # reference random.seed(2023)
+
+    @property
+    def n_degree(self) -> int:
+        return DEGREE_DICT.get(self.name, 20)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Base TGNN model configuration (reference learn_base.py:27-40)."""
+    base_type: str = "tgn"                # tgn | graphmixer | tgat
+    n_degree: int = 30                    # neighbors per hop
+    n_layers: int = 2                     # hops (tgat default 3, tgn/mixer 2)
+    n_heads: int = 2
+    dropout: float = 0.1
+    # GraphMixer specifics (GraphM/graphmixer.py:56-58)
+    token_expansion: float = 0.5
+    channel_expansion: float = 4.0
+    # TGN specifics (TGN/tgn.py:15-24)
+    message_dim: int = 100
+    # dtype policy: params are f32; compute dtype for matmuls
+    compute_dtype: str = "float32"        # or "bfloat16"
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Temporal neighbor / motif walk sampler configuration."""
+    n_degree: int = 30
+    bias: float = 0.0                     # exp-decay sampling bias (0 => uniform)
+    n_walks_deg: int = 30                 # N1: first-hop fanout for walks
+    walk_neighbors: int = 3               # N2: per-first-event continuations
+    chunk: int = 128                      # candidate-scan chunk (lane width)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExplainerConfig:
+    """TempME explainer configuration (temp_exp_main.py:30-53)."""
+    out_dim: int = 40
+    hid_dim: int = 64
+    temp: float = 0.07
+    prior: str = "empirical"              # empirical | uniform
+    prior_p: float = 0.3
+    beta: float = 0.5
+    dropout: float = 0.1
+    if_cat_feature: bool = True
+    use_temporal_guidance: bool = True
+    use_dependency_aware_sampling: bool = True
+    ratios: Tuple[float, ...] = DEFAULT_RATIOS
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 512
+    explainer_batch_size: int = 100
+    lr: float = 1e-4
+    explainer_lr: float = 1e-3
+    weight_decay: float = 0.0
+    n_epoch: int = 50
+    early_stop_rounds: int = 5
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class ParallelConfig:
+    """Mesh axes for SPMD execution (new in this framework; the reference is
+    single-GPU only, learn_base.py:155-172)."""
+    dp: int = 1                           # data parallel (batch axis)
+    sp: int = 1                           # neighbor/walk axis ("sequence")
+    tp: int = 1                           # feature/head axis (tensor parallel)
+
+    @property
+    def n_devices(self) -> int:
+        return self.dp * self.sp * self.tp
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    sampler: SamplerConfig = dataclasses.field(default_factory=SamplerConfig)
+    explainer: ExplainerConfig = dataclasses.field(default_factory=ExplainerConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    parallel: ParallelConfig = dataclasses.field(default_factory=ParallelConfig)
+
+    @staticmethod
+    def for_dataset(name: str, base_type: str = "tgn", **overrides) -> "Config":
+        deg = DEGREE_DICT.get(name, 20)
+        n_layers = 3 if base_type == "tgat" else 2
+        cfg = Config(
+            data=DataConfig(name=name),
+            model=ModelConfig(base_type=base_type, n_degree=deg, n_layers=n_layers),
+            sampler=SamplerConfig(n_degree=deg, n_walks_deg=deg),
+        )
+        return dataclasses.replace(cfg, **overrides) if overrides else cfg

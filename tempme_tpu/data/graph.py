@@ -1,0 +1,86 @@
+"""CSR temporal adjacency — the framework's graph storage format.
+
+TPU-native re-design of the reference ``NeighborFinder`` (utils/graph.py:12-101):
+
+* per-node neighbor lists sorted by timestamp, flattened into device arrays
+  ``(ngh_node, ngh_eid, ngh_ts)`` with ``off[n]:off[n+1]`` giving node n's slice
+  — same layout as the reference's ``node_idx_l/node_ts_l/edge_idx_l/off_set_l``
+  but built vectorized (lexsort) and living in HBM as jnp arrays;
+* the reference's per-node ``nodeedge2idx`` dict (edge-id → cut index with
+  timestamp-tie exemption, utils/graph.py:77-101) is replaced by the observation
+  that the tie-exempted rank of edge e in node n's list equals
+  ``bisect_left(ts_list(n), ts(e))`` — so **both** lookup paths of
+  ``find_before`` (by cut-time and by edge-id) reduce to one vectorized binary
+  search.  (Deviation: the reference fails to tie-exempt a tie group that runs
+  to the end of a neighbor list — utils/graph.py:93 never fires for trailing
+  ties; we apply the exemption uniformly, which is the documented intent:
+  "an event never sees same-timestamp events".)
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from .events import EventStream
+
+
+@struct.dataclass
+class TemporalGraph:
+    """Device-resident CSR temporal adjacency.
+
+    All arrays are jnp (device) arrays; the struct is a pytree and can be
+    closed over or passed through jit boundaries.
+    """
+    ngh_node: jnp.ndarray   # [T] int32  neighbor node id per directed entry
+    ngh_eid: jnp.ndarray    # [T] int32  edge id per entry
+    ngh_ts: jnp.ndarray     # [T] float32 timestamp per entry (sorted per node)
+    off: jnp.ndarray        # [N+1] int32 CSR offsets
+    edge_ts: jnp.ndarray    # [E] float32 timestamp by edge id (0 for padding id 0)
+    num_nodes: int = struct.field(pytree_node=False)
+    num_edges: int = struct.field(pytree_node=False)
+    max_degree: int = struct.field(pytree_node=False)
+
+
+def build_temporal_graph(events: EventStream,
+                         num_nodes: int | None = None,
+                         num_edges: int | None = None) -> TemporalGraph:
+    """Build the CSR adjacency from an event stream (vectorized host build).
+
+    Equivalent to the reference's adjacency construction
+    (learn_base.py:139-149 + NeighborFinder.init_off_set, utils/graph.py:33-66):
+    every event (u, v, e, t) contributes entries to both endpoints' lists,
+    each list sorted ascending by timestamp (stable in file order for ties).
+    """
+    if num_nodes is None:
+        num_nodes = events.num_nodes
+    if num_edges is None:
+        num_edges = events.num_edges
+
+    src = np.concatenate([events.src, events.dst]).astype(np.int64)
+    ngh = np.concatenate([events.dst, events.src]).astype(np.int32)
+    eid = np.concatenate([events.e_idx, events.e_idx]).astype(np.int32)
+    ts = np.concatenate([events.ts, events.ts]).astype(np.float32)
+
+    # Stable sort by (node, ts): within equal (node, ts) the original event
+    # order is preserved, matching python sorted(key=lambda x: x[2]).
+    order = np.lexsort((np.arange(len(src)), ts, src))
+    src_s, ngh_s, eid_s, ts_s = src[order], ngh[order], eid[order], ts[order]
+
+    counts = np.bincount(src_s, minlength=num_nodes)
+    off = np.zeros(num_nodes + 1, dtype=np.int32)
+    np.cumsum(counts, out=off[1:])
+
+    edge_ts = np.zeros(num_edges, dtype=np.float32)
+    edge_ts[events.e_idx] = events.ts
+
+    return TemporalGraph(
+        ngh_node=jnp.asarray(ngh_s),
+        ngh_eid=jnp.asarray(eid_s),
+        ngh_ts=jnp.asarray(ts_s),
+        off=jnp.asarray(off),
+        edge_ts=jnp.asarray(edge_ts),
+        num_nodes=int(num_nodes),
+        num_edges=int(num_edges),
+        max_degree=int(counts.max()) if len(counts) else 0,
+    )

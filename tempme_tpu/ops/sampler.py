@@ -1,0 +1,404 @@
+"""On-device temporal neighbor & motif-walk samplers.
+
+TPU-native replacement for the reference's Python/Numba sampling loops — the
+single hottest code path in the reference (utils/graph.py:197-476, flagged in
+SURVEY.md as the dominant cost). Everything here is pure jnp + lax, jittable,
+fixed-shape, and vmap-free-by-construction (batched directly).
+
+Semantics parity with the reference:
+
+* ``get_temporal_neighbor`` (utils/graph.py:197-231): per (node, t) sample
+  ``n`` strictly-earlier events uniformly with replacement, output zero-padded
+  ``[B, n]`` records sorted ascending by position (=> time-sorted).
+* ``find_k_hop`` (utils/graph.py:233-260): hop ℓ ≥ 2 cuts each neighbor's
+  history at the *edge that produced it* (e-path lookup), which equals a
+  bisect_left at that edge's timestamp (see data/graph.py docstring).
+* ``find_k_walks`` + ``get_next_step`` + ``get_final_step``
+  (utils/graph.py:265-476): 3-event temporal motif walks with the 12-class
+  anonymous codes. The branchy per-walk case analysis becomes masked candidate
+  scoring (chunked Gumbel-argmax) over the union of two CSR slices.
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..data.graph import TemporalGraph
+
+
+class Subgraph(NamedTuple):
+    """k-hop temporal support: hop ℓ arrays have width n^(ℓ+1)."""
+    nodes: Tuple[jnp.ndarray, ...]   # each [B, n^(l+1)] int32
+    eids: Tuple[jnp.ndarray, ...]    # each [B, n^(l+1)] int32
+    ts: Tuple[jnp.ndarray, ...]      # each [B, n^(l+1)] float32
+
+
+class Walks(NamedTuple):
+    """Temporal motif walks (3 events, newest first).
+
+    Layout matches the reference exactly (utils/graph.py:303-306):
+    ``nodes[..., :] = (src3, tgt3, src2, tgt2, src1, tgt1)``,
+    ``eids = (e3, e2, e1)``, ``ts = (t3, t2, t1)``, ``anony = (1, x, t)``.
+    ``cat`` is the dense 0..11 motif-class id in the canonical order used by
+    the offline annotator (processed/data_preprocess.py:171-178).
+    """
+    nodes: jnp.ndarray    # [B, W, 6] int32
+    eids: jnp.ndarray     # [B, W, 3] int32
+    ts: jnp.ndarray       # [B, W, 3] float32
+    anony: jnp.ndarray    # [B, W, 3] int32
+    cat: jnp.ndarray      # [B, W] int32 in [0, 12)
+
+
+# Canonical motif-class order (processed/data_preprocess.py:171):
+# ["1,2,1","1,2,2","1,2,3","1,2,0","1,3,1","1,3,3","1,3,2","1,3,0",
+#  "1,1,3","1,1,2","1,1,1","1,1,0"]
+# Lookup table: CAT_LUT[x-1, t] -> class id.
+_CAT_LUT = jnp.array([
+    # x = 1: t = 0,1,2,3 -> "1,1,0","1,1,1","1,1,2","1,1,3"
+    [11, 10, 9, 8],
+    # x = 2: "1,2,0","1,2,1","1,2,2","1,2,3"
+    [3, 0, 1, 2],
+    # x = 3: "1,3,0","1,3,1","1,3,2","1,3,3"
+    [7, 4, 6, 5],
+], dtype=jnp.int32)
+
+CAT_ORDER = ["1,2,1", "1,2,2", "1,2,3", "1,2,0", "1,3,1", "1,3,3", "1,3,2",
+             "1,3,0", "1,1,3", "1,1,2", "1,1,1", "1,1,0"]
+
+
+def anony_to_cat(x: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    return _CAT_LUT[jnp.clip(x - 1, 0, 2), jnp.clip(t, 0, 3)]
+
+
+def _bisect_iters(g: TemporalGraph) -> int:
+    return max(1, int(math.ceil(math.log2(max(2, g.max_degree + 1)))) + 1)
+
+
+def cut_by_time(g: TemporalGraph, nodes: jnp.ndarray, times: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """bisect_left over node's CSR slice: #events strictly earlier than t.
+
+    Returns (start, cut): node's slice begins at ``start`` and its strictly-
+    earlier prefix has length ``cut``. Replaces ``find_before`` + the Numba
+    ``bisect_left_adapt`` (utils/graph.py:103-146,511-530).
+    """
+    nodes = nodes.astype(jnp.int32)
+    lo = g.off[nodes]
+    hi = g.off[nodes + 1]
+    start = lo
+
+    def body(_, lohi):
+        lo, hi = lohi
+        active = lo < hi
+        mid = (lo + hi) // 2
+        below = g.ngh_ts[mid] < times
+        lo = jnp.where(active & below, mid + 1, lo)
+        hi = jnp.where(active & ~below, mid, hi)
+        return lo, hi
+
+    lo, hi = lax.fori_loop(0, _bisect_iters(g), body, (lo, hi))
+    return start, lo - start
+
+
+def cut_by_edge(g: TemporalGraph, nodes: jnp.ndarray, eids: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cut index for the e-path lookup: events strictly before edge e's time.
+
+    Equals the reference's tie-exempted ``nodeedge2idx[node][e]``
+    (utils/graph.py:77-101,128-135). Node 0 / edge 0 are padding and force an
+    empty prefix (utils/graph.py:133 ``if src_idx > 0 else 0``).
+    """
+    t = g.edge_ts[eids.astype(jnp.int32)]
+    start, cut = cut_by_time(g, nodes, t)
+    cut = jnp.where((nodes == 0) | (eids == 0), 0, cut)
+    return start, cut
+
+
+def _uniform_pick(key, cut: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[Q] cuts -> [Q, n] sorted uniform picks in [0, cut) (0 where cut==0)."""
+    q = cut.shape[0]
+    u = jax.random.uniform(key, (q, n))
+    idx = jnp.floor(u * cut[:, None].astype(jnp.float32)).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, jnp.maximum(cut[:, None] - 1, 0))
+    return jnp.sort(idx, axis=1)
+
+
+def sample_neighbors(g: TemporalGraph, key, nodes: jnp.ndarray,
+                     times: jnp.ndarray, n: int, bias: float = 0.0,
+                     eids: jnp.ndarray | None = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """k=1 temporal neighbor sampling => ([Q,n] node, [Q,n] eid, [Q,n] ts).
+
+    Vectorized ``get_temporal_neighbor`` (utils/graph.py:197-231). ``bias=0``
+    is the uniform mode every reference driver uses (NeighborFinder default);
+    ``bias>0`` applies exp(-bias*Δt) weights via per-draw Gumbel-argmax.
+    """
+    if eids is None:
+        start, cut = cut_by_time(g, nodes, times)
+    else:
+        start, cut = cut_by_edge(g, nodes, eids)
+
+    if bias == 0.0:
+        idx = _uniform_pick(key, cut, n)
+    else:
+        idx = _decay_pick(g, key, start, cut, times, n, bias)
+
+    pos = start[:, None] + idx
+    valid = cut[:, None] > 0
+    out_node = jnp.where(valid, g.ngh_node[pos], 0)
+    out_eid = jnp.where(valid, g.ngh_eid[pos], 0)
+    out_ts = jnp.where(valid, g.ngh_ts[pos], 0.0)
+    return out_node, out_eid, out_ts
+
+
+def _decay_pick(g: TemporalGraph, key, start, cut, times, n: int, bias: float
+                ) -> jnp.ndarray:
+    """Exp-decay multinomial sampling with replacement via Gumbel-argmax,
+    scanned in chunks over each slice (utils/graph.py:216-227 semantics)."""
+    q = start.shape[0]
+    chunk = 128
+    max_cut = jnp.max(cut)
+
+    def cond(state):
+        c, _, _ = state
+        return c * chunk < max_cut
+
+    def body(state):
+        c, best_score, best_idx = state
+        offs = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (q, chunk), 1)
+        pos = start[:, None] + offs
+        in_range = offs < cut[:, None]
+        ts = g.ngh_ts[pos]
+        logw = -bias * (times[:, None] - ts)            # log decay weight
+        gkey = jax.random.fold_in(key, c)
+        gum = jax.random.gumbel(gkey, (q, n, chunk))
+        score = jnp.where(in_range[:, None, :], logw[:, None, :] + gum, -jnp.inf)
+        chunk_best = jnp.max(score, axis=-1)
+        chunk_arg = offs[:, None, :].repeat(n, 1)[
+            jnp.arange(q)[:, None], jnp.arange(n)[None, :],
+            jnp.argmax(score, axis=-1)]
+        take = chunk_best > best_score
+        return (c + 1,
+                jnp.where(take, chunk_best, best_score),
+                jnp.where(take, chunk_arg, best_idx))
+
+    init = (jnp.int32(0), jnp.full((q, n), -jnp.inf), jnp.zeros((q, n), jnp.int32))
+    _, _, idx = lax.while_loop(cond, body, init)
+    return jnp.sort(idx, axis=1)
+
+
+def find_k_hop(g: TemporalGraph, key, src: jnp.ndarray, times: jnp.ndarray,
+               k: int, n: int, eids: jnp.ndarray | None = None,
+               bias: float = 0.0) -> Subgraph:
+    """Recursive k-hop support (utils/graph.py:233-260), fixed shapes.
+
+    Hop 0 samples each (src, t) uniformly from its strict history; hop ℓ>0
+    samples each previous-hop event's endpoint with history cut at that event
+    (e-path). Widths: n, n², ..., n^k.
+    """
+    b = src.shape[0]
+    nodes, es, tss = [], [], []
+    cur_n, cur_t, cur_e = src, times, eids
+    for layer in range(k):
+        key, sub = jax.random.split(key)
+        qn = cur_n.reshape(-1)
+        qt = cur_t.reshape(-1)
+        qe = cur_e.reshape(-1) if (cur_e is not None and layer > 0) else (
+            cur_e if layer == 0 else None)
+        if layer == 0:
+            nn, ne, nt = sample_neighbors(g, sub, qn, qt, n, bias=bias, eids=qe)
+        else:
+            nn, ne, nt = sample_neighbors(g, sub, qn, qt, n, bias=bias, eids=qe)
+        nodes.append(nn.reshape(b, -1))
+        es.append(ne.reshape(b, -1))
+        tss.append(nt.reshape(b, -1))
+        cur_n, cur_e, cur_t = nn.reshape(-1), ne.reshape(-1), nt.reshape(-1)
+    return Subgraph(tuple(nodes), tuple(es), tuple(tss))
+
+
+# ---------------------------------------------------------------------------
+# Motif walks
+# ---------------------------------------------------------------------------
+
+def _union_uniform_sample(g: TemporalGraph, key,
+                          node_a, node_b, eid_cut, n_draws: int):
+    """Uniformly sample ``n_draws`` events (with replacement) from the union of
+    node_a's and node_b's histories, both cut strictly before edge ``eid_cut``.
+
+    Vectorized ``get_next_step`` inner loop (utils/graph.py:308-333): computes
+    (src_node, ngh_node, eid, ts) per draw; zero-padded where the union is
+    empty.
+    """
+    start_a, cut_a = cut_by_edge(g, node_a, eid_cut)
+    start_b, cut_b = cut_by_edge(g, node_b, eid_cut)
+    total = cut_a + cut_b
+    q = node_a.shape[0]
+
+    u = jax.random.uniform(key, (q, n_draws))
+    r = jnp.floor(u * total[:, None].astype(jnp.float32)).astype(jnp.int32)
+    r = jnp.clip(r, 0, jnp.maximum(total[:, None] - 1, 0))
+    from_a = r < cut_a[:, None]
+    pos = jnp.where(from_a, start_a[:, None] + r,
+                    start_b[:, None] + (r - cut_a[:, None]))
+    valid = total[:, None] > 0
+    out_src = jnp.where(valid, jnp.where(from_a, node_a[:, None], node_b[:, None]), 0)
+    out_ngh = jnp.where(valid, g.ngh_node[pos], 0)
+    out_eid = jnp.where(valid, g.ngh_eid[pos], 0)
+    out_ts = jnp.where(valid, g.ngh_ts[pos], 0.0)
+    return out_src, out_ngh, out_eid, out_ts
+
+
+def _masked_union_sample(g: TemporalGraph, key,
+                         node_a, node_b, eid_cut,
+                         va1, va2, vb1, wildcard, chunk: int = 128):
+    """Uniformly sample ONE event from the union of node_a's / node_b's
+    histories cut before edge ``eid_cut``, restricted to candidate targets:
+
+      * entries of node_a's slice whose neighbor ∈ {va1, va2}
+      * entries of node_b's slice whose neighbor == vb1
+      * no restriction where ``wildcard`` is True (the reference's third case).
+
+    This is the vectorized form of ``get_final_step``'s per-walk filtered
+    sampling (utils/graph.py:353-474), implemented as chunked Gumbel-argmax
+    (iid Gumbel over matching positions => exact uniform over matches).
+
+    Returns (src_node, ngh_node, eid, ts, found).
+    """
+    start_a, cut_a = cut_by_edge(g, node_a, eid_cut)
+    start_b, cut_b = cut_by_edge(g, node_b, eid_cut)
+    q = node_a.shape[0]
+    max_len = jnp.maximum(jnp.max(cut_a), jnp.max(cut_b))
+
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def scan_list(carry_key, start, cut, src_id, allow1, allow2, use2):
+        """Chunked Gumbel-argmax over one CSR slice with target filtering."""
+        def cond(state):
+            c, _, _ = state
+            return c * chunk < max_len
+
+        def body(state):
+            c, best_score, best_pos = state
+            offs = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (q, chunk), 1)
+            pos = start[:, None] + offs
+            in_range = offs < cut[:, None]
+            ngh = g.ngh_node[pos]
+            match = wildcard[:, None] | (ngh == allow1[:, None])
+            match = match | (use2[:, None] & (ngh == allow2[:, None]))
+            ok = in_range & match
+            gum = jax.random.gumbel(jax.random.fold_in(carry_key, c), (q, chunk))
+            score = jnp.where(ok, gum, neg_inf)
+            cb = jnp.max(score, axis=-1)
+            cp = pos[jnp.arange(q), jnp.argmax(score, axis=-1)]
+            take = cb > best_score
+            return (c + 1, jnp.where(take, cb, best_score),
+                    jnp.where(take, cp, best_pos))
+
+        init = (jnp.int32(0), jnp.full((q,), neg_inf), jnp.zeros((q,), jnp.int32))
+        _, sc, ps = lax.while_loop(cond, body, init)
+        return sc, ps
+
+    key_a, key_b = jax.random.split(key)
+    sc_a, pos_a = scan_list(key_a, start_a, cut_a, node_a, va1, va2,
+                            jnp.ones((q,), bool))
+    sc_b, pos_b = scan_list(key_b, start_b, cut_b, node_b, vb1, vb1,
+                            jnp.zeros((q,), bool))
+
+    # Gumbel-argmax across the two lists stays exact-uniform over the union.
+    from_a = sc_a >= sc_b
+    best = jnp.where(from_a, sc_a, sc_b)
+    found = best > neg_inf
+    pos = jnp.where(from_a, pos_a, pos_b)
+    src = jnp.where(from_a, node_a, node_b)
+    out_src = jnp.where(found, src, 0)
+    out_ngh = jnp.where(found, g.ngh_node[pos], 0)
+    out_eid = jnp.where(found, g.ngh_eid[pos], 0)
+    out_ts = jnp.where(found, g.ngh_ts[pos], 0.0)
+    return out_src, out_ngh, out_eid, out_ts, found
+
+
+def find_k_walks(g: TemporalGraph, key, src: jnp.ndarray,
+                 subgraph: Subgraph, n1: int, n2: int) -> Walks:
+    """Sample 3-event temporal motif walks (utils/graph.py:265-306).
+
+    ``n1`` = first-hop fanout (= subgraph hop-0 width), ``n2`` = continuations
+    per first event; returns ``n1 * n2`` walks per batch element.
+    """
+    b = src.shape[0]
+    tgt1 = subgraph.nodes[0]          # [B, n1]
+    e1 = subgraph.eids[0]
+    t1 = subgraph.ts[0]
+
+    # ---- step 2: sample event 2 from union of {src, tgt1} histories < e1
+    key, k2 = jax.random.split(key)
+    q1 = b * n1
+    src_rep = jnp.repeat(src[:, None], n1, axis=1).reshape(q1)
+    s2, u2, e2, t2 = _union_uniform_sample(
+        g, k2, src_rep, tgt1.reshape(q1), e1.reshape(q1), n2)  # each [q1, n2]
+
+    # Expand event-1 records to [B, n1*n2] (np.repeat along the walk axis,
+    # matching utils/graph.py:287-289).
+    def rep(x):
+        return jnp.repeat(x, n2, axis=1)
+
+    w = n1 * n2
+    s1_w = jnp.repeat(src[:, None], w, axis=1)          # [B, W]
+    u1_w = rep(tgt1)
+    e1_w = rep(e1)
+    t1_w = rep(t1)
+    s2_w = s2.reshape(b, w)
+    u2_w = u2.reshape(b, w)
+    e2_w = e2.reshape(b, w)
+    t2_w = t2.reshape(b, w)
+
+    # ---- step 3: case analysis + filtered sampling (utils/graph.py:335-476)
+    qs1 = s1_w.reshape(-1)
+    qu1 = u1_w.reshape(-1)
+    qs2 = s2_w.reshape(-1)
+    qu2 = u2_w.reshape(-1)
+    qe2 = e2_w.reshape(-1)
+
+    case1 = (qs1 == qs2) & (qu1 != qu2)
+    case2 = (qu1 == qs2) & (qs1 != qu2)
+    case2 = case2 & ~case1
+    case3 = ~(case1 | case2)
+
+    node_a = jnp.where(case1, qs1, qu1)
+    node_b = qu2
+    va1 = jnp.where(case1, qu1, qs1)     # case1: {u1, u2}; case2: {s1, u2}
+    va2 = qu2
+    vb1 = jnp.where(case1, qu1, qs1)     # case1: {u1};     case2: {s1}
+
+    key, k3 = jax.random.split(key)
+    s3, u3, e3, t3, found = _masked_union_sample(
+        g, k3, node_a, node_b, qe2, va1, va2, vb1, wildcard=case3)
+
+    # ---- anonymous code (1, x, t): utils/graph.py:386-474
+    x = jnp.where(case1, 2, jnp.where(case2, 3, 1))
+    t_c1 = jnp.where((s3 == qs1) & (u3 == qu1), 1,
+             jnp.where((s3 == qs1) & (u3 == qu2), 2,
+               jnp.where((s3 == qu1) & (u3 == qu2), 3, 0)))
+    t_c2 = jnp.where((s3 == qu1) & (u3 == qs1), 1,
+             jnp.where((s3 == qu1) & (u3 == qu2), 3,
+               jnp.where((s3 == qu2) & (u3 == qs1), 2, 0)))
+    t_c3 = jnp.where((s3 == qs1) & (u3 != qu1), 3,
+             jnp.where((s3 == qu1) & (u3 != qs1), 2,
+               jnp.where((s3 == qs1) & (u3 == qu1), 1,
+                 jnp.where((s3 == qu1) & (u3 == qs1), 1, 0))))
+    t_code = jnp.where(case1, t_c1, jnp.where(case2, t_c2, t_c3))
+    t_code = jnp.where(found, t_code, 0)
+
+    anony = jnp.stack([jnp.ones_like(x), x, t_code], axis=-1).reshape(b, w, 3)
+    cat = anony_to_cat(x, t_code).reshape(b, w)
+
+    nodes = jnp.stack([
+        s3.reshape(b, w), u3.reshape(b, w), s2_w, u2_w, s1_w, u1_w], axis=2)
+    eids = jnp.stack([e3.reshape(b, w), e2_w, e1_w], axis=2)
+    tss = jnp.stack([t3.reshape(b, w), t2_w, t1_w], axis=2)
+    return Walks(nodes.astype(jnp.int32), eids.astype(jnp.int32),
+                 tss.astype(jnp.float32), anony.astype(jnp.int32),
+                 cat.astype(jnp.int32))
