@@ -1,0 +1,122 @@
+"""GraphMixer: 1-hop MLP-mixer temporal model (reference GraphM/graphmixer.py).
+
+Per neighbor: [edge_feat || Δt-encoding] -> linear projection -> MLPMixer
+blocks -> masked mean; plus a node-feature branch (uniform softmax over valid
+neighbors) added to the anchor's own features; concat -> output layer.
+Only hop 0 of the 2-hop support is consumed (GraphM/graphmixer.py:155,232-234).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.encodings import TimeEncode
+from ..ops.layers import ConcatMerge, MixerBlock
+from ..ops.sampler import Subgraph
+from .common import Features
+
+
+class GraphMixer(nn.Module):
+    node_dim: int
+    edge_dim: int
+    num_tokens: int            # = n_degree
+    num_layers: int = 2
+    token_expansion: float = 0.5
+    channel_expansion: float = 4.0
+    dropout: float = 0.1
+
+    @property
+    def time_dim(self) -> int:
+        return self.node_dim
+
+    def setup(self):
+        # frozen time encoder (GraphM/graphmixer.py:90)
+        self.time_encoder = TimeEncode(dim=self.time_dim, trainable=False)
+        self.projection = nn.Dense(self.edge_dim, name="projection")
+        self.mixers = [
+            MixerBlock(num_tokens=self.num_tokens, num_channels=self.edge_dim,
+                       token_expansion=self.token_expansion,
+                       channel_expansion=self.channel_expansion,
+                       dropout=self.dropout, name=f"mixer_{i}")
+            for i in range(self.num_layers)]
+        self.output_layer = nn.Dense(self.node_dim, name="output_layer")
+        self.affinity_score = ConcatMerge(hidden=self.node_dim, out=1)
+
+    def node_embed(self, feats: Features, nodes, cut_time, sub: Subgraph,
+                   explain_weights: Optional[jnp.ndarray] = None,
+                   edge_attr: Optional[jnp.ndarray] = None,
+                   deterministic: bool = True) -> jnp.ndarray:
+        """compute_node_temporal_embeddings (GraphM/graphmixer.py:143-197).
+
+        ``explain_weights``: [B, n] per-hop-0-edge importance (masked at pads);
+        ``edge_attr``: externally supplied hop-0 edge features [B, n, De]
+        (the explainer's ``contrast_attr`` path)."""
+        ngh = sub.nodes[0]                       # [B, n]
+        eid = sub.eids[0]
+        ts = sub.ts[0]
+        pad = ngh == 0
+
+        exp = None
+        if explain_weights is not None:
+            exp = jnp.where(pad, 0.0, explain_weights)
+
+        e_feat = feats.edge[eid] if edge_attr is None else edge_attr
+        t_feat = self.time_encoder(cut_time[:, None] - ts)
+        t_feat = jnp.where(pad[..., None], 0.0, t_feat)
+        if edge_attr is None:
+            e_feat = jnp.where(pad[..., None], 0.0, e_feat)
+
+        x = self.projection(jnp.concatenate([e_feat, t_feat], axis=-1))
+        for mixer in self.mixers:
+            x = mixer(x, explain_weights=exp, deterministic=deterministic)
+        x = jnp.where(pad[..., None], 0.0, x)
+        if exp is not None:
+            x = x * exp[..., None]
+        x = jnp.mean(x, axis=1)                  # [B, channels]
+
+        # node-feature branch: uniform softmax over valid neighbors
+        # (GraphM/graphmixer.py:183-191)
+        ngh_node_feat = feats.node[ngh]          # [B, n, Dn]
+        valid = jnp.where(ngh > 0, 0.0, -1e10)
+        scores = nn.softmax(valid, axis=1)
+        if exp is not None:
+            scores = scores * exp
+        agg = jnp.mean(ngh_node_feat * scores[..., None], axis=1)
+        own = feats.node[nodes]
+        node_part = agg + own
+
+        return self.output_layer(jnp.concatenate([x, node_part], axis=-1))
+
+    def get_node_emb(self, feats: Features, src, tgt, bgd, cut_time,
+                     sub_src, sub_tgt, sub_bgd, explain_weights=None,
+                     edge_attr=None, deterministic: bool = True):
+        """explain_weights: reference passes one [3B, n] tensor as
+        explain_weights[0] split three ways (GraphM/graphmixer.py:119-123);
+        here it is a tuple (exp_src, exp_tgt, exp_bgd) or None."""
+        exp = explain_weights or (None, None, None)
+        attr = edge_attr or (None, None, None)
+        return (self.node_embed(feats, src, cut_time, sub_src, exp[0], attr[0],
+                                deterministic),
+                self.node_embed(feats, tgt, cut_time, sub_tgt, exp[1], attr[1],
+                                deterministic),
+                self.node_embed(feats, bgd, cut_time, sub_bgd, exp[2], attr[2],
+                                deterministic))
+
+    def contrast(self, feats: Features, src, tgt, bgd, cut_time,
+                 sub_src, sub_tgt, sub_bgd, explain_weights=None,
+                 edge_attr=None, deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        s, t, b = self.get_node_emb(feats, src, tgt, bgd, cut_time, sub_src,
+                                    sub_tgt, sub_bgd, explain_weights,
+                                    edge_attr, deterministic)
+        pos = self.affinity_score(s, t)
+        neg = self.affinity_score(s, b)
+        return pos, neg
+
+    def __call__(self, feats: Features, src, tgt, bgd, cut_time,
+                 sub_src, sub_tgt, sub_bgd, deterministic: bool = True):
+        return self.contrast(feats, src, tgt, bgd, cut_time,
+                             sub_src, sub_tgt, sub_bgd,
+                             deterministic=deterministic)

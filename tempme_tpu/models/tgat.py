@@ -1,0 +1,147 @@
+"""TGAT: temporal graph attention network (reference TGAT/TGAT.py:389-739).
+
+Pyramid aggregation over a k-hop temporal support tree: hop widths
+n, n², ..., n^k; at stack layer ℓ every remaining pyramid level i aggregates
+its children (level i+1) through a shared 1×n temporal attention
+(TGAT/TGAT.py:678-706). Fully batched, fixed shapes, one jit region.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import TemporalMultiHeadAttention
+from ..ops.encodings import TimeEncode
+from ..ops.layers import GatedMerge, ConcatMerge
+from ..ops.sampler import Subgraph
+from .common import Features
+
+
+class TGATAttnLayer(nn.Module):
+    """One AttnModel: attention over [node||edge||time] keys + 2-branch merge
+    (TGAT/TGAT.py:317-386)."""
+    feat_dim: int
+    edge_dim: int
+    time_dim: int
+    n_head: int
+    dropout: float
+
+    def setup(self):
+        model_dim = self.feat_dim + self.edge_dim + self.time_dim
+        # The reference requires model_dim % n_head == 0 (TGAT/TGAT.py:340),
+        # which rejects e.g. uslegis (172+1+172=345). We round the per-head
+        # dim up instead; the output projection maps h*d_k back to model_dim.
+        d_k = -(-model_dim // self.n_head)
+        self.mha = TemporalMultiHeadAttention(
+            n_head=self.n_head, d_model=model_dim, d_key=model_dim,
+            d_k=d_k, dropout=self.dropout)
+        self.merger = GatedMerge(dim3=self.feat_dim, dim4=self.feat_dim)
+
+    def __call__(self, src, src_t, ngh, ngh_t, ngh_e, mask,
+                 explain_weight=None, deterministic=True):
+        b, nq, _ = src.shape
+        src_e = jnp.zeros((b, nq, self.edge_dim), src.dtype)
+        q = jnp.concatenate([src, src_e, src_t], axis=-1)
+        k = jnp.concatenate([ngh, ngh_e, ngh_t], axis=-1)
+        out, attn = self.mha(q, k, mask=mask, explain_weight=explain_weight,
+                             deterministic=deterministic)
+        return self.merger(out, src), attn
+
+
+class TGAT(nn.Module):
+    node_dim: int
+    edge_dim: int
+    num_layers: int = 3
+    n_head: int = 2
+    dropout: float = 0.1
+
+    @property
+    def time_dim(self) -> int:
+        return self.node_dim
+
+    def setup(self):
+        self.time_encoder = TimeEncode(dim=self.time_dim, trainable=True)
+        self.attn_layers = [
+            TGATAttnLayer(feat_dim=self.node_dim, edge_dim=self.edge_dim,
+                          time_dim=self.time_dim, n_head=self.n_head,
+                          dropout=self.dropout, name=f"attn_{i}")
+            for i in range(self.num_layers)]
+        self.affinity_score = ConcatMerge(hidden=self.node_dim, out=1)
+
+    # -- feature assembly (TGAT/TGAT.py:643-676) ---------------------------
+    def _time_features(self, cut_time, sub: Subgraph, n: int):
+        b = cut_time.shape[0]
+        feats = [self.time_encoder(jnp.zeros((b, 1), jnp.float32))]
+        standard = cut_time[:, None]                       # parent timestamps
+        for t_rec in sub.ts:
+            delta = standard[:, :, None] - t_rec.reshape(b, -1, n)
+            feats.append(self.time_encoder(delta.reshape(b, -1)))
+            standard = t_rec
+        return feats
+
+    def node_embed(self, feats: Features, src, cut_time, sub: Subgraph,
+                   explain_weights: Optional[List[jnp.ndarray]] = None,
+                   deterministic: bool = True) -> jnp.ndarray:
+        """forward_msg (TGAT/TGAT.py:607-619): [B] src -> [B, node_dim]."""
+        n = sub.nodes[0].shape[1]
+        hidden = [feats.node[src[:, None]]]
+        masks = []
+        for nodes in sub.nodes:
+            hidden.append(feats.node[nodes])
+            masks.append(nodes == 0)
+        tfeat = self._time_features(cut_time, sub, n)
+        efeat = [feats.edge[e] for e in sub.eids]
+
+        l = self.num_layers
+        for layer in range(l):
+            new_hidden = []
+            for i in range(l - layer):
+                ew = explain_weights[i] if explain_weights is not None else None
+                out, _ = self.attn_layers[layer](
+                    hidden[i], tfeat[i], hidden[i + 1], tfeat[i + 1],
+                    efeat[i], masks[i], explain_weight=ew,
+                    deterministic=deterministic)
+                new_hidden.append(out)
+            hidden = new_hidden
+        return hidden[0].squeeze(1)
+
+    def contrast(self, feats: Features, src, tgt, bgd, cut_time,
+                 sub_src: Subgraph, sub_tgt: Subgraph, sub_bgd: Subgraph,
+                 explain_weights=None, deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Pos/neg affinity logits [B, 1] (TGAT/TGAT.py:461-481).
+
+        ``explain_weights``: the reference's per-layer pair-of-pairs
+        [[imp_src, imp_tgt], [imp_src, imp_bgd]] (temp_exp_main.py:319,613);
+        each imp is a list over hops of [B, n^(h+1)] weights.
+        """
+        if explain_weights is not None:
+            (exp_src_p, exp_tgt), (exp_src_n, exp_bgd) = explain_weights
+        else:
+            exp_src_p = exp_tgt = exp_src_n = exp_bgd = None
+        src_emb_p = self.node_embed(feats, src, cut_time, sub_src, exp_src_p,
+                                    deterministic)
+        tgt_emb = self.node_embed(feats, tgt, cut_time, sub_tgt, exp_tgt,
+                                  deterministic)
+        pos = self.affinity_score(src_emb_p, tgt_emb)
+        src_emb_n = self.node_embed(feats, src, cut_time, sub_src, exp_src_n,
+                                    deterministic)
+        bgd_emb = self.node_embed(feats, bgd, cut_time, sub_bgd, exp_bgd,
+                                  deterministic)
+        neg = self.affinity_score(src_emb_n, bgd_emb)
+        return pos, neg
+
+    def get_node_emb(self, feats: Features, src, tgt, bgd, cut_time,
+                     sub_src, sub_tgt, sub_bgd, deterministic: bool = True):
+        """(src, tgt, bgd) embeddings (TGAT/TGAT.py:507-519)."""
+        return (self.node_embed(feats, src, cut_time, sub_src, None, deterministic),
+                self.node_embed(feats, tgt, cut_time, sub_tgt, None, deterministic),
+                self.node_embed(feats, bgd, cut_time, sub_bgd, None, deterministic))
+
+    def __call__(self, feats: Features, src, tgt, bgd, cut_time,
+                 sub_src, sub_tgt, sub_bgd, deterministic: bool = True):
+        return self.contrast(feats, src, tgt, bgd, cut_time,
+                             sub_src, sub_tgt, sub_bgd,
+                             deterministic=deterministic)

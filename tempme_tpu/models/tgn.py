@@ -1,0 +1,270 @@
+"""TGN: temporal graph network with node memory (reference TGN/tgn.py +
+TGN/modules/*).
+
+The reference's mutable machinery — ``Memory`` (tensor + python-dict message
+lists, TGN/modules/memory.py:8-75), ``LastMessageAggregator`` (python loop,
+message_aggregator.py:34-55), GRU updater — becomes one explicit, functional
+``TGNMemoryState`` threaded through every step:
+
+* "last message wins per node" is a deterministic segment-argmax over batch
+  positions (destination-side stores win over source-side for nodes playing
+  both roles, matching the reference's append order, tgn.py:179-191);
+* one raw-message slot per node suffices: the reference only ever aggregates
+  the *last* stored message, so append == overwrite;
+* ``backup/restore/detach`` (memory.py:48-75) are value copies / no-ops under
+  the functional step boundary.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.attention import TemporalMultiHeadAttention
+from ..ops.encodings import TimeEncode
+from ..ops.layers import ConcatMerge
+from ..ops.sampler import Subgraph
+from .common import Features
+
+
+class TGNMemoryState(NamedTuple):
+    memory: jnp.ndarray        # [N, Dm] float32
+    last_update: jnp.ndarray   # [N] float32
+    msg_buf: jnp.ndarray       # [N, raw_dim] float32 pending raw message
+    msg_ts: jnp.ndarray        # [N] float32 pending message timestamp
+    msg_valid: jnp.ndarray     # [N] bool
+
+
+def init_memory_state(num_nodes: int, memory_dim: int, raw_dim: int
+                      ) -> TGNMemoryState:
+    return TGNMemoryState(
+        memory=jnp.zeros((num_nodes, memory_dim), jnp.float32),
+        last_update=jnp.zeros((num_nodes,), jnp.float32),
+        msg_buf=jnp.zeros((num_nodes, raw_dim), jnp.float32),
+        msg_ts=jnp.zeros((num_nodes,), jnp.float32),
+        msg_valid=jnp.zeros((num_nodes,), bool),
+    )
+
+
+class TGNAttnLayer(nn.Module):
+    """TemporalAttentionLayer (TGN/modules/embedding_module.py:120-182):
+    q = [feat || te(0)], k = [ngh_feat || edge || te(Δt)], then a concat-merge
+    back to node_dim."""
+    node_dim: int
+    edge_dim: int
+    time_dim: int
+    n_head: int
+    dropout: float
+
+    def setup(self):
+        query_dim = self.node_dim + self.time_dim
+        key_dim = self.node_dim + self.time_dim + self.edge_dim
+        d_k = -(-query_dim // self.n_head)
+        self.mha = TemporalMultiHeadAttention(
+            n_head=self.n_head, d_model=query_dim, d_key=key_dim,
+            d_k=d_k, dropout=self.dropout)
+        self.merger = ConcatMerge(hidden=self.node_dim, out=self.node_dim)
+
+    def __call__(self, src_feat, src_time_emb, ngh_feat, ngh_time_emb,
+                 edge_feat, mask, explain_weight=None, deterministic=True):
+        # src_feat: [Bq, Dn]; ngh_*: [Bq, n, .]; mask: [Bq, n]
+        q = jnp.concatenate([src_feat[:, None, :], src_time_emb], axis=-1)
+        k = jnp.concatenate([ngh_feat, edge_feat, ngh_time_emb], axis=-1)
+        n = k.shape[1]
+        out, attn = self.mha(q, k.reshape(k.shape[0], n, -1), mask=mask,
+                             explain_weight=explain_weight,
+                             deterministic=deterministic)
+        out = out.squeeze(1)
+        return self.merger(out, src_feat), attn
+
+
+class TGN(nn.Module):
+    node_dim: int
+    edge_dim: int
+    num_nodes: int
+    n_layers: int = 2
+    n_head: int = 2
+    dropout: float = 0.1
+    message_dim: int = 100      # TGN/tgn.py:17 message_dimension=100
+
+    @property
+    def time_dim(self) -> int:
+        return self.node_dim
+
+    @property
+    def memory_dim(self) -> int:
+        return self.node_dim    # TGN/tgn.py:56 memory_dimension = n_node_features
+
+    @property
+    def raw_message_dim(self) -> int:
+        return 2 * self.memory_dim + self.edge_dim + self.time_dim
+
+    def setup(self):
+        # linear-cos trainable time encoder (TGN/modules/embedding_module.py:90)
+        self.time_encoder = TimeEncode(dim=self.time_dim, trainable=True)
+        self.attn_layers = [
+            TGNAttnLayer(node_dim=self.node_dim, edge_dim=self.edge_dim,
+                         time_dim=self.time_dim, n_head=self.n_head,
+                         dropout=self.dropout, name=f"attn_{i}")
+            for i in range(self.n_layers)]
+        self.message_mlp = nn.Sequential([
+            nn.Dense(self.raw_message_dim // 2), nn.relu,
+            nn.Dense(self.message_dim)])          # MLPMessageFunction
+        self.memory_gru = nn.GRUCell(features=self.memory_dim,
+                                     name="memory_updater")
+        self.affinity_score = ConcatMerge(hidden=self.node_dim, out=1)
+
+    # ------------------------------------------------------------------
+    # memory machinery (functional)
+    # ------------------------------------------------------------------
+    def updated_memory(self, state: TGNMemoryState
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """get_updated_memory over all nodes (TGN/tgn.py:126,241-252): advance
+        memory rows that have a pending message through the GRU."""
+        msgs = self.message_mlp(state.msg_buf)
+        new_mem, _ = self.memory_gru(state.memory, msgs)
+        valid = state.msg_valid[:, None]
+        memory = jnp.where(valid, new_mem, state.memory)
+        last_update = jnp.where(state.msg_valid, state.msg_ts,
+                                state.last_update)
+        return memory, last_update
+
+    def _persist_positives(self, state: TGNMemoryState, upd_memory,
+                           upd_last_update, positives) -> TGNMemoryState:
+        """update_memory(positives) + clear_messages(positives)
+        (TGN/tgn.py:167-177)."""
+        is_pos = jnp.zeros((self.num_nodes,), bool).at[positives].set(True)
+        take = is_pos & state.msg_valid
+        memory = jnp.where(take[:, None], upd_memory, state.memory)
+        last_update = jnp.where(take, upd_last_update, state.last_update)
+        msg_valid = state.msg_valid & ~is_pos
+        return state._replace(memory=memory, last_update=last_update,
+                              msg_valid=msg_valid)
+
+    def _store_messages(self, state: TGNMemoryState, src, tgt, src_emb,
+                        tgt_emb, cut_time, eidx, feats: Features
+                        ) -> TGNMemoryState:
+        """get_raw_messages + store (TGN/tgn.py:179-191,254-278) with
+        last-occurrence-wins semantics via segment-argmax over positions."""
+        e_feat = feats.edge[eidx]
+        # source-side then destination-side messages (append order ⇒ the
+        # destination-side store wins for nodes that are both)
+        nodes = jnp.concatenate([src, tgt])
+        t_all = jnp.concatenate([cut_time, cut_time])
+        delta = t_all - state.last_update[nodes]
+        t_enc = self.time_encoder(delta[:, None]).reshape(len(nodes), -1)
+        own_emb = jnp.concatenate([src_emb, tgt_emb], axis=0)
+        other_emb = jnp.concatenate([tgt_emb, src_emb], axis=0)
+        msgs = jnp.concatenate(
+            [own_emb, other_emb, jnp.concatenate([e_feat, e_feat], axis=0),
+             t_enc], axis=-1)
+
+        # last occurrence per node: segment-max of position index
+        pos_idx = jnp.arange(nodes.shape[0], dtype=jnp.int32)
+        winner = jnp.full((self.num_nodes,), -1, jnp.int32).at[nodes].max(pos_idx)
+        has_msg = winner >= 0
+        w = jnp.clip(winner, 0)
+        msg_buf = jnp.where(has_msg[:, None],
+                            jax.lax.stop_gradient(msgs[w]), state.msg_buf)
+        msg_ts = jnp.where(has_msg, t_all[w], state.msg_ts)
+        msg_valid = state.msg_valid | has_msg
+        return state._replace(msg_buf=msg_buf, msg_ts=msg_ts,
+                              msg_valid=msg_valid)
+
+    # ------------------------------------------------------------------
+    # embedding pyramid (GraphAttentionEmbedding.embedding_update_layer,
+    # TGN/modules/embedding_module.py:356-393)
+    # ------------------------------------------------------------------
+    def _embed_chain(self, feats: Features, memory, anchors, cut_time,
+                     sub: Subgraph, explain_weights=None,
+                     edge_attr=None, deterministic=True):
+        b = anchors.shape[0]
+        n = sub.nodes[0].shape[1]
+        node_levels = [anchors[:, None]] + [x for x in sub.nodes]
+        feat_levels = [feats.node[x] + memory[x] for x in node_levels]
+        if edge_attr is None:
+            edge_feats = [feats.edge[e] for e in sub.eids]
+        else:
+            edge_feats = list(edge_attr)
+        # Δt per hop vs parent (embedding_module.py:300-314)
+        tfeats = []
+        standard = cut_time[:, None]
+        for t_rec in sub.ts:
+            delta = standard[:, :, None] - t_rec.reshape(b, -1, n)
+            tfeats.append(self.time_encoder(delta.reshape(b, -1)))
+            standard = t_rec
+
+        num_levels = len(node_levels)
+        ngh_feat = feat_levels[-1].reshape(-1, self.node_dim)
+        for i in range(num_levels - 1):
+            t = num_levels - 1 - i
+            src_feat = feat_levels[t - 1].reshape(-1, self.node_dim)
+            bq = src_feat.shape[0]
+            src_t = self.time_encoder(jnp.zeros((bq, 1), jnp.float32))
+            ngh = ngh_feat.reshape(bq, n, self.node_dim)
+            e_t = tfeats[t - 1].reshape(bq, n, -1)
+            e_f = edge_feats[t - 1].reshape(bq, n, -1)
+            mask = (node_levels[t] == 0).reshape(bq, n)
+            ew = None
+            if explain_weights is not None:
+                ew = explain_weights[t - 1].reshape(bq, n)
+            out, _ = self.attn_layers[i](src_feat, src_t, ngh, e_t, e_f, mask,
+                                         explain_weight=ew,
+                                         deterministic=deterministic)
+            ngh_feat = out
+        return ngh_feat                      # [B, node_dim]
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def get_node_emb(self, feats: Features, state: TGNMemoryState,
+                     src, tgt, bgd, cut_time, eidx,
+                     sub_src, sub_tgt, sub_bgd,
+                     explain_weights=None, edge_attr=None,
+                     update_memory: bool = True, deterministic: bool = True):
+        """Returns ((src_emb, tgt_emb, bgd_emb), new_state)
+        (TGN/tgn.py:100-198). ``update_memory=False`` reproduces
+        ``forbidden_memory_update`` used by the explainer
+        (temp_exp_main.py:703-704)."""
+        upd_memory, upd_last = self.updated_memory(state)
+
+        def embed(anchors, sub, ew, ea):
+            return self._embed_chain(feats, upd_memory, anchors, cut_time, sub,
+                                     ew, ea, deterministic)
+
+        ew = explain_weights or (None, None, None)
+        ea = edge_attr or (None, None, None)
+        src_emb = embed(src, sub_src, ew[0], ea[0])
+        tgt_emb = embed(tgt, sub_tgt, ew[1], ea[1])
+        bgd_emb = embed(bgd, sub_bgd, ew[2], ea[2])
+
+        if update_memory:
+            positives = jnp.concatenate([src, tgt])
+            state = self._persist_positives(state, upd_memory, upd_last,
+                                            positives)
+            state = self._store_messages(state, src, tgt,
+                                         jax.lax.stop_gradient(src_emb),
+                                         jax.lax.stop_gradient(tgt_emb),
+                                         cut_time, eidx, feats)
+        return (src_emb, tgt_emb, bgd_emb), state
+
+    def contrast(self, feats: Features, state: TGNMemoryState,
+                 src, tgt, bgd, cut_time, eidx,
+                 sub_src, sub_tgt, sub_bgd, explain_weights=None,
+                 edge_attr=None, update_memory: bool = True,
+                 deterministic: bool = True):
+        (s, t, b), state = self.get_node_emb(
+            feats, state, src, tgt, bgd, cut_time, eidx, sub_src, sub_tgt,
+            sub_bgd, explain_weights, edge_attr, update_memory, deterministic)
+        pos = self.affinity_score(s, t)
+        neg = self.affinity_score(s, b)
+        return (pos, neg), state
+
+    def __call__(self, feats: Features, state: TGNMemoryState,
+                 src, tgt, bgd, cut_time, eidx,
+                 sub_src, sub_tgt, sub_bgd, deterministic: bool = True):
+        return self.contrast(feats, state, src, tgt, bgd, cut_time, eidx,
+                             sub_src, sub_tgt, sub_bgd,
+                             deterministic=deterministic)

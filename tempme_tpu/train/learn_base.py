@@ -1,0 +1,163 @@
+"""Base TGNN training driver (reference learn_base.py).
+
+Usage:
+    python -m tempme_tpu.train.learn_base --data uslegis_sampled \
+        --base_type tgat --n_epoch 5 --bs 256
+
+Trains future-link prediction with BCE on contrastive (pos, neg) logits,
+evaluates AP/AUC/ACC on the test split with the full-graph sampler each epoch,
+keeps the best checkpoint, early-stops after 5 flat rounds.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import DEGREE_DICT
+from ..data.events import load_dataset, RandEdgeSampler
+from ..data.graph import build_temporal_graph
+from ..models.common import Features
+from ..utils import metrics as M
+from ..utils.checkpoint import save_params
+from . import loops
+
+
+def build_model(base_type: str, node_dim: int, edge_dim: int, args):
+    if base_type == "tgat":
+        from ..models.tgat import TGAT
+        return TGAT(node_dim=node_dim, edge_dim=edge_dim,
+                    num_layers=args.n_layer, n_head=args.n_head,
+                    dropout=args.drop_out), args.n_layer
+    if base_type == "graphmixer":
+        from ..models.graphmixer import GraphMixer
+        return GraphMixer(node_dim=node_dim, edge_dim=edge_dim,
+                          num_tokens=args.n_degree, num_layers=args.n_layer,
+                          dropout=args.drop_out), 2
+    raise ValueError(f"unknown base_type {base_type} (tgn uses learn_tgn path)")
+
+
+def evaluate(eval_step, params, events, batch_size, seed=0):
+    scores, labels, masks = [], [], []
+    key = jax.random.PRNGKey(seed)
+    for batch in loops.iter_batches(events, batch_size, shuffle=False, seed=0,
+                                    drop_remainder=False):
+        key, sub = jax.random.split(key)
+        pos, neg = eval_step(params, sub, batch)
+        pos = jax.nn.sigmoid(pos)
+        neg = jax.nn.sigmoid(neg)
+        scores.append(np.r_[np.asarray(pos), np.asarray(neg)])
+        labels.append(np.r_[np.ones(len(pos)), np.zeros(len(neg))])
+        m = np.asarray(batch.mask)
+        masks.append(np.r_[m, m])
+    s, l, m = np.concatenate(scores), np.concatenate(labels), np.concatenate(masks)
+    return dict(ap=M.average_precision_score(l, s, m),
+                auc=M.roc_auc_score(l, s, m),
+                acc=M.accuracy_score(l, s, mask=m))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("tempme_tpu base-model training")
+    p.add_argument("--base_type", type=str, default="tgat")
+    p.add_argument("-d", "--data", type=str, default="uslegis_sampled")
+    p.add_argument("--data_dir", type=str,
+                   default=os.environ.get("TEMPME_DATA_DIR",
+                                          "/root/reference/processed"))
+    p.add_argument("--bs", type=int, default=256)
+    p.add_argument("--n_degree", type=int, default=0,
+                   help="0 = per-dataset default")
+    p.add_argument("--n_head", type=int, default=2)
+    p.add_argument("--n_epoch", type=int, default=20)
+    p.add_argument("--n_layer", type=int, default=3)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--drop_out", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out_dir", type=str, default="params/tgnn")
+    args = p.parse_args(argv)
+    if args.n_degree == 0:
+        args.n_degree = DEGREE_DICT.get(args.data, 20)
+    if args.base_type == "tgn":
+        from .learn_tgn import main as tgn_main
+        return tgn_main(args)
+
+    ds = load_dataset(args.data, args.data_dir)
+    g_train = build_temporal_graph(ds.train, ds.full.num_nodes, ds.full.num_edges)
+    g_full = build_temporal_graph(ds.full, ds.full.num_nodes, ds.full.num_edges)
+    feats = Features(node=jnp.asarray(ds.node_feat), edge=jnp.asarray(ds.edge_feat))
+
+    model, k = build_model(args.base_type, ds.node_feat.shape[1],
+                           ds.edge_feat.shape[1], args)
+    train_sampler = RandEdgeSampler([ds.train.src], [ds.train.dst])
+    test_sampler = RandEdgeSampler([ds.train.src, ds.val.src, ds.test.src],
+                                   [ds.train.dst, ds.val.dst, ds.test.dst])
+
+    # init
+    key = jax.random.PRNGKey(args.seed)
+    init_batch = next(loops.iter_batches(ds.train, args.bs, True, 0, True))
+    _, s0, s1, s2 = loops.sample_support(
+        g_train, key, init_batch, jnp.asarray(train_sampler.dst_list),
+        k, args.n_degree)
+    params = model.init({"params": key, "dropout": key}, feats,
+                        init_batch.src, init_batch.dst, init_batch.dst,
+                        init_batch.ts, s0, s1, s2, deterministic=True)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model={args.base_type} data={args.data} params={n_params:,} "
+          f"n_degree={args.n_degree} layers={k}")
+
+    optimizer = optax.adam(args.lr)
+    state = loops.TrainState(params, optimizer.init(params), key)
+    train_step = loops.make_base_train_step(
+        model, g_train, feats, jnp.asarray(train_sampler.dst_list),
+        k, args.n_degree, optimizer)
+    eval_step = loops.make_base_eval_step(
+        model, g_full, feats, jnp.asarray(test_sampler.dst_list),
+        k, args.n_degree)
+
+    stopper = M.EarlyStopMonitor(max_round=5)
+    best_ap = 0.0
+    os.makedirs(args.out_dir, exist_ok=True)
+    ckpt_path = osp.join(args.out_dir, f"{args.base_type}_{args.data}.msgpack")
+    for epoch in range(args.n_epoch):
+        t0 = time.time()
+        losses, aps, aucs = [], [], []
+        n_events = 0
+        for batch in loops.iter_batches(ds.train, args.bs, shuffle=True,
+                                        seed=args.seed + epoch,
+                                        drop_remainder=True):
+            state, aux = train_step(state, batch)
+            n_events += len(batch.src)
+            losses.append(float(aux["loss"]))
+            s = np.r_[jax.nn.sigmoid(np.asarray(aux["pos"])),
+                      jax.nn.sigmoid(np.asarray(aux["neg"]))]
+            l = np.r_[np.ones(args.bs), np.zeros(args.bs)]
+            aps.append(M.average_precision_score(l, s))
+            aucs.append(M.roc_auc_score(l, s))
+        dt = time.time() - t0
+        test = evaluate(eval_step, state.params, ds.test, args.bs)
+        print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
+              f"train_ap={np.mean(aps):.4f} train_auc={np.mean(aucs):.4f} "
+              f"test_ap={test['ap']:.4f} test_auc={test['auc']:.4f} "
+              f"({n_events / dt:,.0f} events/s)")
+        if test["ap"] > best_ap:
+            best_ap = test["ap"]
+            save_params(ckpt_path, state.params,
+                        meta=dict(base_type=args.base_type, data=args.data,
+                                  n_degree=args.n_degree, n_layer=k,
+                                  n_head=args.n_head, drop_out=args.drop_out,
+                                  node_dim=ds.node_feat.shape[1],
+                                  edge_dim=ds.edge_feat.shape[1]))
+            print(f"  saved best checkpoint -> {ckpt_path} (ap={best_ap:.4f})")
+        if stopper.early_stop_check(test["ap"]):
+            print(f"early stop at epoch {epoch}")
+            break
+    return best_ap
+
+
+if __name__ == "__main__":
+    main()

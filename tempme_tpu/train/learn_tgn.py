@@ -1,0 +1,163 @@
+"""TGN training driver: like learn_base but threads TGNMemoryState through
+every step, with backup/restore around eval (reference learn_base.py:239-240,
+259-266)."""
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.events import load_dataset, RandEdgeSampler
+from ..data.graph import build_temporal_graph
+from ..models.common import Features
+from ..models.tgn import TGN, init_memory_state
+from ..utils import metrics as M
+from ..utils.checkpoint import save_params
+from . import loops
+
+
+def make_tgn_train_step(model, g_train, feats, dst_table, n, optimizer):
+    @jax.jit
+    def step(state: loops.TrainState, mem, batch: loops.Batch):
+        key, k_samp, k_drop = jax.random.split(state.key, 3)
+        bgd, s_src, s_tgt, s_bgd = loops.sample_support(
+            g_train, k_samp, batch, dst_table, model.n_layers, n)
+
+        def loss_fn(params):
+            (pos, neg), new_mem = model.apply(
+                params, feats, mem, batch.src, batch.dst, bgd, batch.ts,
+                batch.eidx, s_src, s_tgt, s_bgd, deterministic=False,
+                rngs={"dropout": k_drop}, method=TGN.contrast)
+            loss = (loops.bce_with_logits(pos, jnp.ones_like(pos))
+                    + loops.bce_with_logits(neg, jnp.zeros_like(neg)))
+            return loss, (pos, neg, new_mem)
+
+        (loss, (pos, neg, new_mem)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        # detach_memory (learn_base.py:239-240) is implicit: new_mem leaves the
+        # jit region as values.
+        return (loops.TrainState(params, opt_state, key), new_mem,
+                {"loss": loss, "pos": pos.squeeze(-1), "neg": neg.squeeze(-1)})
+
+    return step
+
+
+def make_tgn_eval_step(model, g_full, feats, dst_table, n):
+    @jax.jit
+    def step(params, mem, key, batch: loops.Batch):
+        bgd, s_src, s_tgt, s_bgd = loops.sample_support(
+            g_full, key, batch, dst_table, model.n_layers, n)
+        (pos, neg), new_mem = model.apply(
+            params, feats, mem, batch.src, batch.dst, bgd, batch.ts,
+            batch.eidx, s_src, s_tgt, s_bgd, deterministic=True,
+            method=TGN.contrast)
+        return pos.squeeze(-1), neg.squeeze(-1), new_mem
+
+    return step
+
+
+def evaluate_tgn(eval_step, params, mem, events, batch_size, seed=0):
+    """Evaluates on the test split, mutating a local copy of the memory
+    (caller keeps its own backup — reference learn_base.py:259-266)."""
+    scores, labels, masks = [], [], []
+    key = jax.random.PRNGKey(seed)
+    for batch in loops.iter_batches(events, batch_size, shuffle=False, seed=0,
+                                    drop_remainder=False):
+        key, sub = jax.random.split(key)
+        pos, neg, mem = eval_step(params, mem, sub, batch)
+        scores.append(np.r_[jax.nn.sigmoid(np.asarray(pos)),
+                            jax.nn.sigmoid(np.asarray(neg))])
+        labels.append(np.r_[np.ones(len(pos)), np.zeros(len(neg))])
+        m = np.asarray(batch.mask)
+        masks.append(np.r_[m, m])
+    s, l, m = (np.concatenate(scores), np.concatenate(labels),
+               np.concatenate(masks))
+    return dict(ap=M.average_precision_score(l, s, m),
+                auc=M.roc_auc_score(l, s, m),
+                acc=M.accuracy_score(l, s, mask=m))
+
+
+def main(args):
+    ds = load_dataset(args.data, args.data_dir)
+    g_train = build_temporal_graph(ds.train, ds.full.num_nodes, ds.full.num_edges)
+    g_full = build_temporal_graph(ds.full, ds.full.num_nodes, ds.full.num_edges)
+    feats = Features(node=jnp.asarray(ds.node_feat), edge=jnp.asarray(ds.edge_feat))
+
+    model = TGN(node_dim=ds.node_feat.shape[1], edge_dim=ds.edge_feat.shape[1],
+                num_nodes=ds.full.num_nodes, n_layers=2, n_head=args.n_head,
+                dropout=args.drop_out)
+    mem = init_memory_state(ds.full.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    train_sampler = RandEdgeSampler([ds.train.src], [ds.train.dst])
+    test_sampler = RandEdgeSampler([ds.train.src, ds.val.src, ds.test.src],
+                                   [ds.train.dst, ds.val.dst, ds.test.dst])
+
+    key = jax.random.PRNGKey(args.seed)
+    init_batch = next(loops.iter_batches(ds.train, args.bs, True, 0, True))
+    _, s0, s1, s2 = loops.sample_support(
+        g_train, key, init_batch, jnp.asarray(train_sampler.dst_list),
+        2, args.n_degree)
+    params = model.init({"params": key, "dropout": key}, feats, mem,
+                        init_batch.src, init_batch.dst, init_batch.dst,
+                        init_batch.ts, init_batch.eidx, s0, s1, s2,
+                        deterministic=True)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model=tgn data={args.data} params={n_params:,} "
+          f"n_degree={args.n_degree}")
+
+    optimizer = optax.adam(args.lr)
+    state = loops.TrainState(params, optimizer.init(params), key)
+    train_step = make_tgn_train_step(model, g_train, feats,
+                                     jnp.asarray(train_sampler.dst_list),
+                                     args.n_degree, optimizer)
+    eval_step = make_tgn_eval_step(model, g_full, feats,
+                                   jnp.asarray(test_sampler.dst_list),
+                                   args.n_degree)
+
+    stopper = M.EarlyStopMonitor(max_round=5)
+    best_ap = 0.0
+    os.makedirs(args.out_dir, exist_ok=True)
+    ckpt_path = osp.join(args.out_dir, f"tgn_{args.data}.msgpack")
+    for epoch in range(args.n_epoch):
+        t0 = time.time()
+        losses, aps = [], []
+        n_events = 0
+        for batch in loops.iter_batches(ds.train, args.bs, shuffle=True,
+                                        seed=args.seed + epoch,
+                                        drop_remainder=True):
+            state, mem, aux = train_step(state, mem, batch)
+            n_events += len(batch.src)
+            losses.append(float(aux["loss"]))
+            s = np.r_[jax.nn.sigmoid(np.asarray(aux["pos"])),
+                      jax.nn.sigmoid(np.asarray(aux["neg"]))]
+            l = np.r_[np.ones(args.bs), np.zeros(args.bs)]
+            aps.append(M.average_precision_score(l, s))
+        dt = time.time() - t0
+        mem_backup = mem                       # backup_memory
+        test = evaluate_tgn(eval_step, state.params, mem, ds.test, args.bs)
+        mem = mem_backup                       # restore_memory
+        print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
+              f"train_ap={np.mean(aps):.4f} test_ap={test['ap']:.4f} "
+              f"test_auc={test['auc']:.4f} ({n_events / dt:,.0f} events/s)")
+        if test["ap"] > best_ap:
+            best_ap = test["ap"]
+            save_params(ckpt_path, state.params,
+                        meta=dict(base_type="tgn", data=args.data,
+                                  n_degree=args.n_degree, n_layer=2,
+                                  n_head=args.n_head, drop_out=args.drop_out,
+                                  node_dim=ds.node_feat.shape[1],
+                                  edge_dim=ds.edge_feat.shape[1],
+                                  num_nodes=ds.full.num_nodes))
+            print(f"  saved best checkpoint -> {ckpt_path} (ap={best_ap:.4f})")
+        if stopper.early_stop_check(test["ap"]):
+            print(f"early stop at epoch {epoch}")
+            break
+    return best_ap

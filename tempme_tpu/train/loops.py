@@ -1,0 +1,132 @@
+"""Jitted train/eval step factories for the base TGNN models.
+
+One jit region per step covering negative sampling + k-hop subgraph sampling +
+forward + backward + optimizer — the whole per-batch pipeline that the
+reference runs as Python loops with host<->device ping-pong
+(learn_base.py:207-253). This is where the TPU build's throughput comes from.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.graph import TemporalGraph
+from ..models.common import Features
+from ..ops import sampler as S
+
+
+class Batch(NamedTuple):
+    src: jnp.ndarray     # [B] int32
+    dst: jnp.ndarray     # [B] int32
+    ts: jnp.ndarray      # [B] float32
+    eidx: jnp.ndarray    # [B] int32
+    mask: jnp.ndarray    # [B] bool (False = padding row in final partial batch)
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: optax.OptState
+    key: jnp.ndarray
+
+
+def bce_with_logits(logits, labels):
+    return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+
+def sample_support(g: TemporalGraph, key, batch: Batch, dst_table: jnp.ndarray,
+                   k: int, n: int, use_eidx: bool = True):
+    """Negatives + 3x k-hop subgraphs, all on device.
+
+    Hop-0 for the anchor (src/dst) cuts history at the batch event's own edge
+    when available (e-path), matching the reference's use of ``e_idx_l`` in
+    ``find_k_hop`` during training (learn_base.py:224-226 passes none, but the
+    preprocessing and explainer paths pass e_idx — we thread it through).
+    """
+    kn, k1, k2, k3 = jax.random.split(key, 4)
+    neg_idx = jax.random.randint(kn, batch.src.shape, 0, dst_table.shape[0])
+    bgd = dst_table[neg_idx]
+    eidx = batch.eidx if use_eidx else None
+    sub_src = S.find_k_hop(g, k1, batch.src, batch.ts, k, n, eids=eidx)
+    sub_tgt = S.find_k_hop(g, k2, batch.dst, batch.ts, k, n, eids=eidx)
+    sub_bgd = S.find_k_hop(g, k3, bgd, batch.ts, k, n, eids=None)
+    return bgd, sub_src, sub_tgt, sub_bgd
+
+
+def make_base_train_step(model, g_train: TemporalGraph, feats: Features,
+                         dst_table: jnp.ndarray, k: int, n: int,
+                         optimizer: optax.GradientTransformation,
+                         use_eidx: bool = False):
+    """Returns jitted ``step(state, batch) -> (state, aux)`` for stateless
+    models (TGAT / GraphMixer)."""
+
+    @jax.jit
+    def step(state: TrainState, batch: Batch):
+        key, k_samp, k_drop = jax.random.split(state.key, 3)
+        bgd, s_src, s_tgt, s_bgd = sample_support(
+            g_train, k_samp, batch, dst_table, k, n, use_eidx)
+
+        def loss_fn(params):
+            pos, neg = model.apply(
+                params, feats, batch.src, batch.dst, bgd, batch.ts,
+                s_src, s_tgt, s_bgd, deterministic=False,
+                rngs={"dropout": k_drop})
+            loss = (bce_with_logits(pos, jnp.ones_like(pos))
+                    + bce_with_logits(neg, jnp.zeros_like(neg)))
+            return loss, (pos, neg)
+
+        (loss, (pos, neg)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, key), {
+            "loss": loss, "pos": pos.squeeze(-1), "neg": neg.squeeze(-1)}
+
+    return step
+
+
+def make_base_eval_step(model, g_full: TemporalGraph, feats: Features,
+                        dst_table: jnp.ndarray, k: int, n: int,
+                        use_eidx: bool = False):
+    @jax.jit
+    def step(params, key, batch: Batch):
+        bgd, s_src, s_tgt, s_bgd = sample_support(
+            g_full, key, batch, dst_table, k, n, use_eidx)
+        pos, neg = model.apply(params, feats, batch.src, batch.dst, bgd,
+                               batch.ts, s_src, s_tgt, s_bgd,
+                               deterministic=True)
+        return pos.squeeze(-1), neg.squeeze(-1)
+
+    return step
+
+
+def iter_batches(events, batch_size: int, shuffle: bool, seed: int,
+                 drop_remainder: bool):
+    """Fixed-shape batches (padded final batch carries a validity mask)."""
+    import numpy as np
+    n = len(events)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    for s in range(0, n, batch_size):
+        chunk = idx[s:s + batch_size]
+        if len(chunk) < batch_size:
+            if drop_remainder:
+                return
+            pad = np.zeros(batch_size - len(chunk), np.int64)
+            mask = np.r_[np.ones(len(chunk), bool),
+                         np.zeros(batch_size - len(chunk), bool)]
+            chunk = np.r_[chunk, pad]
+        else:
+            mask = np.ones(batch_size, bool)
+        yield Batch(
+            src=jnp.asarray(events.src[chunk]),
+            dst=jnp.asarray(events.dst[chunk]),
+            ts=jnp.asarray(events.ts[chunk]),
+            eidx=jnp.asarray(events.e_idx[chunk]),
+            mask=jnp.asarray(mask),
+        )
