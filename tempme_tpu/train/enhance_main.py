@@ -1,0 +1,194 @@
+"""Enhance stage (reference enhance_main.py): motif embeddings from the
+explainer-as-predictor are concatenated with base-model node embeddings and
+jointly trained (predictor + base) with BCE on true labels — the "Motif
+Enhancement Verification" pipeline (enhance_main.py:56).
+
+Usage:
+    python -m tempme_tpu.train.enhance_main --data uslegis_sampled \
+        --base_type tgn --n_epoch 10 --bs 100
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import DEGREE_DICT
+from ..data.events import load_dataset, RandEdgeSampler
+from ..data.graph import build_temporal_graph
+from ..explain.tempme import TempME
+from ..models.common import Features
+from ..utils import metrics as M
+from ..utils.checkpoint import save_params
+from . import loops
+from .base_loader import load_base
+from .temp_exp_main import sample_explainer_inputs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("tempme_tpu enhance training")
+    p.add_argument("--base_type", type=str, default="tgn")
+    p.add_argument("-d", "--data", type=str, default="uslegis_sampled")
+    p.add_argument("--data_dir", type=str,
+                   default=os.environ.get("TEMPME_DATA_DIR",
+                                          "/root/reference/processed"))
+    p.add_argument("--bs", type=int, default=100)
+    p.add_argument("--n_epoch", type=int, default=10)
+    p.add_argument("--out_dim", type=int, default=40)
+    p.add_argument("--hid_dim", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--drop_out", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt_dir", type=str, default="params")
+    args = p.parse_args(argv)
+    n_degree = DEGREE_DICT.get(args.data, 20)
+    if args.base_type == "tgat":
+        raise NotImplementedError(
+            "enhance for tgat uses the TempMETGAT sum-of-scores affinity; "
+            "run with tgn/graphmixer (reference's tgat enhance path is broken "
+            "upstream, models/explainer.py:562-565)")
+
+    ds = load_dataset(args.data, args.data_dir)
+    g_train = build_temporal_graph(ds.train, ds.full.num_nodes, ds.full.num_edges)
+    g_full = build_temporal_graph(ds.full, ds.full.num_nodes, ds.full.num_edges)
+    feats = Features(node=jnp.asarray(ds.node_feat), edge=jnp.asarray(ds.edge_feat))
+
+    base = load_base(osp.join(args.ckpt_dir, "tgnn",
+                              f"{args.base_type}_{args.data}.msgpack"), feats)
+    predictor = TempME(node_dim=ds.node_feat.shape[1],
+                       edge_dim=ds.edge_feat.shape[1],
+                       out_dim=args.out_dim, hid_dim=args.hid_dim,
+                       base_type=args.base_type, dropout=args.drop_out)
+
+    train_sampler = RandEdgeSampler([ds.train.src], [ds.train.dst])
+    test_sampler = RandEdgeSampler([ds.train.src, ds.val.src, ds.test.src],
+                                   [ds.train.dst, ds.val.dst, ds.test.dst])
+    dst_train = jnp.asarray(train_sampler.dst_list)
+    dst_test = jnp.asarray(test_sampler.dst_list)
+
+    key = jax.random.PRNGKey(args.seed)
+    b0 = next(loops.iter_batches(ds.train, args.bs, True, 0, True))
+    _, subs0, walks0 = sample_explainer_inputs(g_train, key, b0, dst_train,
+                                               n_degree)
+    pred_params = predictor.init({"params": key}, feats, walks0[0], b0.ts,
+                                 subs0[0], method=TempME.init_all)
+
+    # joint optimization over predictor + base (enhance_main.py:305)
+    all_params = {"predictor": pred_params, "base": base.params}
+    optimizer = optax.adam(args.lr)
+    opt_state = optimizer.init(all_params)
+    is_tgn = base.base_type == "tgn"
+    mem0 = base.memory
+
+    def node_embs(bp, mem, batch, bgd, subs, k_drop, train: bool):
+        if is_tgn:
+            (s, t, b), new_mem = base.model.apply(
+                bp, feats, mem, batch.src, batch.dst, bgd, batch.ts,
+                batch.eidx, *subs, update_memory=True,
+                deterministic=not train,
+                rngs={"dropout": k_drop} if train else None,
+                method=type(base.model).get_node_emb)
+            return (s, t, b), new_mem
+        s, t, b = base.model.apply(
+            bp, feats, batch.src, batch.dst, bgd, batch.ts, *subs,
+            deterministic=not train,
+            rngs={"dropout": k_drop} if train else None,
+            method=type(base.model).get_node_emb)
+        return (s, t, b), mem
+
+    @jax.jit
+    def train_step(params, opt_state, mem, key, batch: loops.Batch):
+        k_samp, k_drop1, k_drop2, k_next = jax.random.split(key, 4)
+        bgd, subs, walks = sample_explainer_inputs(
+            g_train, k_samp, batch, dst_train, n_degree)
+
+        def loss_fn(ps):
+            (s, t, b), new_mem = node_embs(ps["base"], mem, batch, bgd, subs,
+                                           k_drop1, train=True)
+            pos, neg = predictor.apply(
+                ps["predictor"], feats, batch.ts, walks[0], walks[1],
+                walks[2], s, t, b, deterministic=False,
+                rngs={"dropout": k_drop2},
+                method=TempME.enhance_predict_agg)
+            loss = (optax.sigmoid_binary_cross_entropy(
+                        pos, jnp.ones_like(pos)).mean()
+                    + optax.sigmoid_binary_cross_entropy(
+                        neg, jnp.zeros_like(neg)).mean())
+            return loss, (pos, neg, new_mem)
+
+        (loss, (pos, neg, new_mem)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, new_mem, k_next, dict(
+            loss=loss, pos=pos.squeeze(-1), neg=neg.squeeze(-1))
+
+    @jax.jit
+    def eval_step(params, mem, key, batch: loops.Batch):
+        k_samp, _ = jax.random.split(key)
+        bgd, subs, walks = sample_explainer_inputs(
+            g_full, k_samp, batch, dst_test, n_degree)
+        (s, t, b), new_mem = node_embs(params["base"], mem, batch, bgd, subs,
+                                       None, train=False)
+        pos, neg = predictor.apply(
+            params["predictor"], feats, batch.ts, walks[0], walks[1],
+            walks[2], s, t, b, deterministic=True,
+            method=TempME.enhance_predict_agg)
+        return pos.squeeze(-1), neg.squeeze(-1), new_mem
+
+    best_ap = 0.0
+    ckpt = osp.join(args.ckpt_dir, "enhance", args.base_type,
+                    f"{args.data}.msgpack")
+    mem = mem0
+    for epoch in range(args.n_epoch):
+        t0 = time.time()
+        losses, aps = [], []
+        n_ev = 0
+        for batch in loops.iter_batches(ds.train, args.bs, shuffle=True,
+                                        seed=args.seed + epoch,
+                                        drop_remainder=True):
+            all_params, opt_state, mem, key, aux = train_step(
+                all_params, opt_state, mem, key, batch)
+            n_ev += len(batch.src)
+            losses.append(float(aux["loss"]))
+            s = np.r_[jax.nn.sigmoid(np.asarray(aux["pos"])),
+                      jax.nn.sigmoid(np.asarray(aux["neg"]))]
+            l = np.r_[np.ones(args.bs), np.zeros(args.bs)]
+            aps.append(M.average_precision_score(l, s))
+        dt = time.time() - t0
+        # eval with memory backup/restore (enhance_main.py:396-401)
+        mem_backup = mem
+        scores, labels = [], []
+        ekey = jax.random.PRNGKey(999)
+        for batch in loops.iter_batches(ds.test, args.bs, shuffle=False,
+                                        seed=0, drop_remainder=True):
+            ekey, sub = jax.random.split(ekey)
+            pos, neg, mem = eval_step(all_params, mem, sub, batch)
+            scores.append(np.r_[jax.nn.sigmoid(np.asarray(pos)),
+                                jax.nn.sigmoid(np.asarray(neg))])
+            labels.append(np.r_[np.ones(len(pos)), np.zeros(len(neg))])
+        mem = mem_backup
+        s, l = np.concatenate(scores), np.concatenate(labels)
+        test_ap = M.average_precision_score(l, s)
+        test_auc = M.roc_auc_score(l, s)
+        print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
+              f"train_ap={np.mean(aps):.4f} test_ap={test_ap:.4f} "
+              f"test_auc={test_auc:.4f} ({n_ev / dt:,.0f} events/s)")
+        if test_ap > best_ap:
+            best_ap = test_ap
+            save_params(ckpt, all_params,
+                        meta=dict(base_type=args.base_type, data=args.data,
+                                  out_dim=args.out_dim, hid_dim=args.hid_dim))
+            print(f"  saved best enhance checkpoint -> {ckpt} "
+                  f"(ap={best_ap:.4f})")
+    return best_ap
+
+
+if __name__ == "__main__":
+    main()

@@ -149,7 +149,11 @@ def main(args):
               f"test_auc={test['auc']:.4f} ({n_events / dt:,.0f} events/s)")
         if test["ap"] > best_ap:
             best_ap = test["ap"]
-            save_params(ckpt_path, state.params,
+            # checkpoint carries the train-side memory state (the reference's
+            # pickled module embeds its Memory parameter the same way,
+            # learn_base.py:276)
+            save_params(ckpt_path, {"params": state.params,
+                                    "memory": mem_backup},
                         meta=dict(base_type="tgn", data=args.data,
                                   n_degree=args.n_degree, n_layer=2,
                                   n_head=args.n_head, drop_out=args.drop_out,

@@ -1,0 +1,433 @@
+"""TempME explainer training driver (reference temp_exp_main.py).
+
+Usage:
+    python -m tempme_tpu.train.temp_exp_main --data uslegis_sampled \
+        --base_type tgn --n_epoch 10 --bs 100
+
+Per batch (one jit region): sample 2-hop supports + 90 motif walks per side on
+device, pseudo-label with the frozen base model, score walks with the
+explainer, scatter walk importance to edges, re-run the base with post-softmax
+explain weights, optimize BCE(pred, y_ori) + beta * KL(motif prior).
+
+Eval adds fidelity (prob & logit) and the ratio-sweep "Ratio" metrics
+(temp_exp_main.py:153-272) — but instead of re-running the base 16x per batch,
+all 16 ratio-masked supports are stacked into one [R*B] forward.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import os.path as osp
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import DEGREE_DICT, DEFAULT_RATIOS
+from ..data.events import load_dataset, RandEdgeSampler
+from ..data.graph import build_temporal_graph
+from ..explain.null_model import estimate_null_distribution
+from ..explain.tempme import (TempME, WalkInputs, kl_sparsity_loss,
+                              make_walk_inputs)
+from ..models.common import Features
+from ..ops import sampler as S
+from ..utils import metrics as M
+from ..utils.checkpoint import save_params
+from . import loops
+from .base_loader import LoadedBase, load_base
+
+
+# ---------------------------------------------------------------------------
+# base-model contrast dispatch (frozen base, no memory updates)
+# ---------------------------------------------------------------------------
+
+def make_base_contrast(base: LoadedBase, feats: Features):
+    """Returns contrast(src, tgt, bgd, ts, eidx, subs, explain) -> (pos, neg),
+    with the base frozen and (for TGN) forbidden_memory_update semantics
+    (temp_exp_main.py:703-704)."""
+    if base.base_type == "tgn":
+        def contrast(src, tgt, bgd, ts, eidx, s_src, s_tgt, s_bgd, explain):
+            ew = None
+            if explain is not None:
+                b = src.shape[0]
+                hops = [jnp.split(h, 3, axis=0) for h in explain]  # per hop
+                ew = tuple([hops[h][i] for h in range(len(hops))]
+                           for i in range(3))
+            (pos, neg), _ = base.model.apply(
+                base.params, feats, base.memory, src, tgt, bgd, ts, eidx,
+                s_src, s_tgt, s_bgd, explain_weights=ew, update_memory=False,
+                deterministic=True, method=type(base.model).contrast)
+            return pos, neg
+    elif base.base_type == "graphmixer":
+        def contrast(src, tgt, bgd, ts, eidx, s_src, s_tgt, s_bgd, explain):
+            ew = None
+            if explain is not None:
+                ew = tuple(jnp.split(explain[0], 3, axis=0))
+            pos, neg = base.model.apply(
+                base.params, feats, src, tgt, bgd, ts, s_src, s_tgt, s_bgd,
+                explain_weights=ew, deterministic=True,
+                method=type(base.model).contrast)
+            return pos, neg
+    elif base.base_type == "tgat":
+        def contrast(src, tgt, bgd, ts, eidx, s_src, s_tgt, s_bgd, explain):
+            ew = None
+            if explain is not None:
+                # explain: list over hops of [3B, width] -> TGAT pair-of-pairs
+                hops = [jnp.split(h, 3, axis=0) for h in explain]
+                imp_src = [h[0] for h in hops]
+                imp_tgt = [h[1] for h in hops]
+                imp_bgd = [h[2] for h in hops]
+                ew = ((imp_src, imp_tgt), (imp_src, imp_bgd))
+            pos, neg = base.model.apply(
+                base.params, feats, src, tgt, bgd, ts, s_src, s_tgt, s_bgd,
+                explain_weights=ew, deterministic=True,
+                method=type(base.model).contrast)
+            return pos, neg
+    else:
+        raise ValueError(base.base_type)
+    return contrast
+
+
+def sample_explainer_inputs(g, key, batch: loops.Batch, dst_table, n_degree,
+                            n_walk_cont=3):
+    """Supports + walks for all three sides, on device."""
+    kn, k1, k2, k3, w1, w2, w3 = jax.random.split(key, 7)
+    neg_idx = jax.random.randint(kn, batch.src.shape, 0, dst_table.shape[0])
+    bgd = dst_table[neg_idx]
+    s_src = S.find_k_hop(g, k1, batch.src, batch.ts, 2, n_degree,
+                         eids=batch.eidx)
+    s_tgt = S.find_k_hop(g, k2, batch.dst, batch.ts, 2, n_degree,
+                         eids=batch.eidx)
+    s_bgd = S.find_k_hop(g, k3, bgd, batch.ts, 2, n_degree)
+    w_src = make_walk_inputs(S.find_k_walks(g, w1, batch.src, s_src, n_degree,
+                                            n_walk_cont))
+    w_tgt = make_walk_inputs(S.find_k_walks(g, w2, batch.dst, s_tgt, n_degree,
+                                            n_walk_cont))
+    w_bgd = make_walk_inputs(S.find_k_walks(g, w3, bgd, s_bgd, n_degree,
+                                            n_walk_cont))
+    return bgd, (s_src, s_tgt, s_bgd), (w_src, w_tgt, w_bgd)
+
+
+def explanation_from_imp(explainer, exp_params, feats, subs, walks, imps, key,
+                         training: bool):
+    return explainer.apply(
+        exp_params, feats,
+        subs[0], imps[0], walks[0], subs[1], imps[1], walks[1],
+        subs[2], imps[2], walks[2],
+        training=training, deterministic=not training,
+        rngs={"sample": key} if training else None,
+        method=TempME.retrieve_explanation)
+
+
+def mask_supports_for_ratios(explanation, subs, ratios, n_degree, base_type):
+    """Vectorized threshold_test masking (temp_exp_main.py:159-241): for each
+    ratio keep the top-k most important support edges (zero out the others'
+    node ids), stacking all ratios along a leading axis."""
+    r = len(ratios)
+    use_hops = 2 if base_type in ("tgn", "tgat") else 1
+    num_edge = n_degree + n_degree * n_degree if use_hops == 2 else n_degree
+    topks = np.array([min(max(int(np.ceil(rr * num_edge)), 1), num_edge)
+                      for rr in ratios], np.int32)          # [R]
+
+    def mask_side(side_idx, sub):
+        imp = jnp.concatenate(
+            [jnp.split(explanation[h], 3, axis=0)[side_idx]
+             for h in range(use_hops)], axis=1)
+        order = jnp.argsort(-imp, axis=-1, stable=True)
+        rank = jnp.argsort(order, axis=-1, stable=True)      # [B, num_edge]
+        keep = rank[None, :, :] < topks[:, None, None]       # [R, B, num_edge]
+        widths = [n_degree, n_degree * n_degree][:use_hops]
+        keeps = jnp.split(keep, np.cumsum(widths)[:-1], axis=-1)
+        nodes = []
+        for h in range(len(sub.nodes)):
+            if h < use_hops:
+                masked = jnp.where(keeps[h], sub.nodes[h][None], 0)
+            else:
+                masked = jnp.broadcast_to(sub.nodes[h][None],
+                                          (r,) + sub.nodes[h].shape)
+            nodes.append(masked.reshape((-1,) + sub.nodes[h].shape[1:]))
+        eids = [jnp.broadcast_to(e[None], (r,) + e.shape)
+                .reshape((-1,) + e.shape[1:]) for e in sub.eids]
+        tss = [jnp.broadcast_to(t[None], (r,) + t.shape)
+               .reshape((-1,) + t.shape[1:]) for t in sub.ts]
+        return S.Subgraph(tuple(nodes), tuple(eids), tuple(tss))
+
+    # side order: the 3B stacking is (src, tgt, bgd)
+    def split_sides(sub_list):
+        return sub_list
+    return [mask_side(i, subs[i]) for i in range(3)]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("tempme_tpu explainer training")
+    p.add_argument("--base_type", type=str, default="tgn")
+    p.add_argument("-d", "--data", type=str, default="uslegis_sampled")
+    p.add_argument("--data_dir", type=str,
+                   default=os.environ.get("TEMPME_DATA_DIR",
+                                          "/root/reference/processed"))
+    p.add_argument("--bs", type=int, default=100)
+    p.add_argument("--test_bs", type=int, default=100)
+    p.add_argument("--n_epoch", type=int, default=10)
+    p.add_argument("--out_dim", type=int, default=40)
+    p.add_argument("--hid_dim", type=int, default=64)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--drop_out", type=float, default=0.1)
+    p.add_argument("--prior_p", type=float, default=0.3)
+    p.add_argument("--beta", type=float, default=0.5)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--if_bern", type=int, default=1)
+    p.add_argument("--test_threshold", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--ckpt_dir", type=str, default="params")
+    args = p.parse_args(argv)
+    n_degree = DEGREE_DICT.get(args.data, 20)
+    ratios = DEFAULT_RATIOS
+
+    ds = load_dataset(args.data, args.data_dir)
+    g_train = build_temporal_graph(ds.train, ds.full.num_nodes, ds.full.num_edges)
+    g_full = build_temporal_graph(ds.full, ds.full.num_nodes, ds.full.num_edges)
+    feats = Features(node=jnp.asarray(ds.node_feat), edge=jnp.asarray(ds.edge_feat))
+
+    base = load_base(osp.join(args.ckpt_dir, "tgnn",
+                              f"{args.base_type}_{args.data}.msgpack"), feats)
+    contrast = make_base_contrast(base, feats)
+
+    print("estimating null motif distribution (shuffled graph)...")
+    null_dist = jnp.asarray(estimate_null_distribution(
+        ds.full, n_degree, ds.node_feat, ds.edge_feat, seed=args.seed))
+    print("null distribution:", np.round(np.asarray(null_dist), 4))
+
+    is_tgat = args.base_type == "tgat"
+    if is_tgat:
+        from ..explain.tempme_tgat import TempMETGAT
+        explainer = TempMETGAT(node_dim=ds.node_feat.shape[1],
+                               edge_dim=ds.edge_feat.shape[1],
+                               out_dim=args.out_dim, hid_dim=args.hid_dim,
+                               dropout=args.drop_out)
+        explainer_cls = TempMETGAT
+    else:
+        explainer = TempME(node_dim=ds.node_feat.shape[1],
+                           edge_dim=ds.edge_feat.shape[1],
+                           out_dim=args.out_dim, hid_dim=args.hid_dim,
+                           base_type=args.base_type, dropout=args.drop_out)
+        explainer_cls = TempME
+
+    train_sampler = RandEdgeSampler([ds.train.src], [ds.train.dst])
+    test_sampler = RandEdgeSampler([ds.train.src, ds.val.src, ds.test.src],
+                                   [ds.train.dst, ds.val.dst, ds.test.dst])
+    dst_train = jnp.asarray(train_sampler.dst_list)
+    dst_test = jnp.asarray(test_sampler.dst_list)
+
+    key = jax.random.PRNGKey(args.seed)
+    b0 = next(loops.iter_batches(ds.train, args.bs, True, 0, True))
+    _, subs0, walks0 = sample_explainer_inputs(g_train, key, b0, dst_train,
+                                               n_degree)
+    if is_tgat:
+        exp_params = explainer.init({"params": key}, feats, walks0[0], b0.src,
+                                    b0.ts, b0.dst, subs0[0],
+                                    method=explainer_cls.init_all)
+    else:
+        exp_params = explainer.init({"params": key}, feats, walks0[0], b0.ts,
+                                    subs0[0], method=explainer_cls.init_all)
+
+    def apply_imps(ep, walks, batch, bgd, deterministic, drop_key=None):
+        """Walk-importance forward for all three sides (signatures differ:
+        the TGAT variant also conditions on the anchor node pair)."""
+        rngs = None
+        out = []
+        sides = [(walks[0], batch.src, batch.dst),
+                 (walks[1], batch.dst, batch.src),
+                 (walks[2], bgd, batch.src)]
+        for i, (w, a, b) in enumerate(sides):
+            if drop_key is not None:
+                rngs = {"dropout": jax.random.fold_in(drop_key, i)}
+            if is_tgat:
+                out.append(explainer.apply(ep, feats, w, a, batch.ts, b,
+                                           deterministic=deterministic,
+                                           rngs=rngs))
+            else:
+                out.append(explainer.apply(ep, feats, w, batch.ts,
+                                           deterministic=deterministic,
+                                           rngs=rngs))
+        return out
+    n_params = sum(x.size for x in jax.tree.leaves(exp_params))
+    print(f"explainer params: {n_params:,}")
+
+    optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay) \
+        if args.weight_decay else optax.adam(args.lr)
+    opt_state = optimizer.init(exp_params)
+
+    # ------------------------------------------------------------------
+    @jax.jit
+    def train_step(exp_params, opt_state, key, batch: loops.Batch):
+        k_samp, k_drop, k_beta, k_next = jax.random.split(key, 4)
+        bgd, subs, walks = sample_explainer_inputs(
+            g_train, k_samp, batch, dst_train, n_degree)
+        pos_ori, neg_ori = contrast(batch.src, batch.dst, bgd, batch.ts,
+                                    batch.eidx, *subs, None)
+        y_ori = (jnp.concatenate([pos_ori, neg_ori]) > 0.0).astype(jnp.float32)
+
+        def loss_fn(ep):
+            imps = apply_imps(ep, walks, batch, bgd, deterministic=False,
+                              drop_key=k_drop)
+            explanation = explainer.apply(
+                ep, feats, subs[0], imps[0], walks[0],
+                subs[1], imps[1], walks[1], subs[2], imps[2], walks[2],
+                training=bool(args.if_bern), deterministic=False,
+                rngs={"sample": k_beta, "dropout": jax.random.fold_in(k_drop, 7)},
+                method=explainer_cls.retrieve_explanation)
+            pos, neg = contrast(batch.src, batch.dst, bgd, batch.ts,
+                                batch.eidx, *subs, explanation)
+            pred = jnp.concatenate([pos, neg])
+            pred_loss = optax.sigmoid_binary_cross_entropy(pred, y_ori).mean()
+            kl = sum(kl_sparsity_loss(imps[i], walks[i].cat, null_dist,
+                                      target=args.prior_p)
+                     for i in range(3))
+            return pred_loss + args.beta * kl, (pred, pred_loss, kl,
+                                               pos_ori, neg_ori, pos, neg)
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            exp_params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, exp_params)
+        exp_params2 = optax.apply_updates(exp_params, updates)
+        pred, pred_loss, kl, pos_ori, neg_ori, pos, neg = aux
+        fid_prob = jnp.concatenate([
+            jax.nn.sigmoid(pos) - jax.nn.sigmoid(pos_ori),
+            jax.nn.sigmoid(neg_ori) - jax.nn.sigmoid(neg)]).mean()
+        fid_logit = jnp.concatenate([pos - pos_ori, neg_ori - neg]).mean()
+        return exp_params2, opt_state2, k_next, dict(
+            loss=loss, pred_loss=pred_loss, kl=kl, y_ori=y_ori,
+            y_pred=jax.nn.sigmoid(pred), fid_prob=fid_prob,
+            fid_logit=fid_logit)
+
+    # ------------------------------------------------------------------
+    @jax.jit
+    def eval_step(exp_params, key, batch: loops.Batch):
+        k_samp, _ = jax.random.split(key)
+        bgd, subs, walks = sample_explainer_inputs(
+            g_full, k_samp, batch, dst_test, n_degree)
+        pos_ori, neg_ori = contrast(batch.src, batch.dst, bgd, batch.ts,
+                                    batch.eidx, *subs, None)
+        y_ori = (jnp.concatenate([pos_ori, neg_ori]) > 0.0).astype(jnp.float32)
+        imps = apply_imps(exp_params, walks, batch, bgd, deterministic=True)
+        explanation = explainer.apply(
+            exp_params, feats, subs[0], imps[0], walks[0],
+            subs[1], imps[1], walks[1], subs[2], imps[2], walks[2],
+            training=False, deterministic=True,
+            method=explainer_cls.retrieve_explanation)
+        pos, neg = contrast(batch.src, batch.dst, bgd, batch.ts, batch.eidx,
+                            *subs, explanation)
+        kl = sum(kl_sparsity_loss(imps[i], walks[i].cat, null_dist,
+                                  target=args.prior_p) for i in range(3))
+        pred = jnp.concatenate([pos, neg])
+
+        # ratio sweep, all ratios in one stacked forward
+        masked = mask_supports_for_ratios(explanation, subs, ratios, n_degree,
+                                          args.base_type)
+        r = len(ratios)
+        def tile(x):
+            return jnp.broadcast_to(x[None], (r,) + x.shape).reshape(
+                (-1,) + x.shape[1:])
+        pos_r, neg_r = contrast(tile(batch.src), tile(batch.dst), tile(bgd),
+                                tile(batch.ts), tile(batch.eidx),
+                                masked[0], masked[1], masked[2], None)
+        return dict(
+            y_ori=y_ori, pred=pred, pos_ori=pos_ori, neg_ori=neg_ori,
+            pos=pos, neg=neg, kl=kl,
+            pos_r=pos_r.reshape(r, -1), neg_r=neg_r.reshape(r, -1))
+
+    # ------------------------------------------------------------------
+    def run_eval(exp_params, epoch):
+        stats = {k: [] for k in ["aps", "auc", "acc", "fid_prob", "fid_logit",
+                                 "r_aps", "r_auc", "r_acc", "r_prob",
+                                 "r_logit"]}
+        key = jax.random.PRNGKey(1234)
+        for batch in loops.iter_batches(ds.test, args.test_bs, shuffle=False,
+                                        seed=0, drop_remainder=True):
+            key, sub = jax.random.split(key)
+            out = eval_step(exp_params, sub, batch)
+            y_ori = np.asarray(out["y_ori"]).ravel()
+            y_pred = jax.nn.sigmoid(np.asarray(out["pred"])).ravel()
+            stats["aps"].append(M.average_precision_score(y_ori, y_pred))
+            stats["auc"].append(M.roc_auc_score(y_ori, y_pred))
+            stats["acc"].append(M.accuracy_score(y_ori, y_pred))
+            pos_ori = np.asarray(out["pos_ori"]).ravel()
+            neg_ori = np.asarray(out["neg_ori"]).ravel()
+            pos = np.asarray(out["pos"]).ravel()
+            neg = np.asarray(out["neg"]).ravel()
+            sig = lambda x: 1 / (1 + np.exp(-x))
+            stats["fid_prob"].append(np.r_[sig(pos) - sig(pos_ori),
+                                           sig(neg_ori) - sig(neg)].mean())
+            stats["fid_logit"].append(np.r_[pos - pos_ori,
+                                            neg_ori - neg].mean())
+            if args.test_threshold:
+                pos_r = np.asarray(out["pos_r"])
+                neg_r = np.asarray(out["neg_r"])
+                r_aps, r_auc, r_acc, r_prob, r_logit = [], [], [], [], []
+                for ri in range(len(ratios)):
+                    yp = sig(np.r_[pos_r[ri], neg_r[ri]])
+                    r_aps.append(M.average_precision_score(y_ori, yp))
+                    r_auc.append(M.roc_auc_score(y_ori, yp))
+                    r_acc.append(M.accuracy_score(y_ori, yp))
+                    r_prob.append(np.r_[sig(pos_r[ri]) - sig(pos_ori),
+                                        sig(neg_ori) - sig(neg_r[ri])].mean())
+                    r_logit.append(np.r_[pos_r[ri] - pos_ori,
+                                         neg_ori - neg_r[ri]].mean())
+                stats["r_aps"].append(np.mean(r_aps))
+                stats["r_auc"].append(np.mean(r_auc))
+                stats["r_acc"].append(np.mean(r_acc))
+                stats["r_prob"].append(np.mean(r_prob))
+                stats["r_logit"].append(np.mean(r_logit))
+        out = {k: float(np.mean(v)) if v else 0.0 for k, v in stats.items()}
+        print(f"[eval epoch {epoch}] aps={out['aps']:.4f} auc={out['auc']:.4f} "
+              f"acc={out['acc']:.4f} fid_prob={out['fid_prob']:.4f} "
+              f"fid_logit={out['fid_logit']:.4f} | ratio: "
+              f"APS={out['r_aps']:.4f} AUC={out['r_auc']:.4f} "
+              f"ACC={out['r_acc']:.4f} prob={out['r_prob']:.4f} "
+              f"logit={out['r_logit']:.4f}")
+        return out
+
+    best = 0.0
+    ckpt = osp.join(args.ckpt_dir, "explainer", args.base_type,
+                    f"{args.data}.msgpack")
+    for epoch in range(args.n_epoch):
+        t0 = time.time()
+        agg = {"loss": [], "aps": [], "fid_prob": [], "fid_logit": []}
+        n_ev = 0
+        for batch in loops.iter_batches(ds.train, args.bs, shuffle=True,
+                                        seed=args.seed + epoch,
+                                        drop_remainder=True):
+            exp_params, opt_state, key, aux = train_step(
+                exp_params, opt_state, key, batch)
+            n_ev += len(batch.src)
+            agg["loss"].append(float(aux["loss"]))
+            agg["aps"].append(M.average_precision_score(
+                np.asarray(aux["y_ori"]).ravel(),
+                np.asarray(aux["y_pred"]).ravel()))
+            agg["fid_prob"].append(float(aux["fid_prob"]))
+            agg["fid_logit"].append(float(aux["fid_logit"]))
+        dt = time.time() - t0
+        print(f"epoch {epoch}: loss={np.mean(agg['loss']):.4f} "
+              f"aps={np.mean(agg['aps']):.4f} "
+              f"fid_prob={np.mean(agg['fid_prob']):.4f} "
+              f"fid_logit={np.mean(agg['fid_logit']):.4f} "
+              f"({n_ev / dt:,.0f} events/s)")
+        ev = run_eval(exp_params, epoch)
+        score = ev["r_aps"] if args.test_threshold else ev["aps"]
+        if score > best:
+            best = score
+            save_params(ckpt, exp_params,
+                        meta=dict(base_type=args.base_type, data=args.data,
+                                  out_dim=args.out_dim, hid_dim=args.hid_dim,
+                                  drop_out=args.drop_out, n_degree=n_degree,
+                                  node_dim=ds.node_feat.shape[1],
+                                  edge_dim=ds.edge_feat.shape[1]))
+            print(f"  saved best explainer -> {ckpt} (score={best:.4f})")
+    return best
+
+
+if __name__ == "__main__":
+    main()

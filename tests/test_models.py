@@ -1,0 +1,183 @@
+"""Model-level tests: shapes, finiteness, explain-weight semantics, TGN memory
+semantics, and a few-step learning smoke test on synthetic data."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tempme_tpu.data.graph import build_temporal_graph
+from tempme_tpu.models.common import Features
+from tempme_tpu.ops import sampler as S
+from tempme_tpu.train import loops
+from tests.conftest import make_events
+
+B, N_DEG, DN, DE = 8, 4, 12, 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    events = make_events(300, 30, seed=3)
+    g = build_temporal_graph(events)
+    rng = np.random.RandomState(0)
+    feats = Features(
+        node=jnp.asarray(np.r_[np.zeros((1, DN)),
+                               rng.randn(g.num_nodes - 1, DN)].astype(np.float32)),
+        edge=jnp.asarray(np.r_[np.zeros((1, DE)),
+                               rng.randn(g.num_edges - 1, DE)].astype(np.float32)))
+    src = jnp.asarray(rng.randint(1, 30, B).astype(np.int32))
+    dst = jnp.asarray(rng.randint(1, 30, B).astype(np.int32))
+    ts = jnp.asarray(np.full(B, float(events.ts.max()) + 1, np.float32))
+    eidx = jnp.asarray(rng.randint(1, 300, B).astype(np.int32))
+    key = jax.random.PRNGKey(0)
+    subs = tuple(S.find_k_hop(g, jax.random.fold_in(key, i),
+                              x, ts, 2, N_DEG, eids=None)
+                 for i, x in enumerate((src, dst, dst)))
+    return g, feats, src, dst, ts, eidx, subs, events
+
+
+def test_tgat_shapes_and_explain_masking(setup):
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgat import TGAT
+    model = TGAT(node_dim=DN, edge_dim=DE, num_layers=2, n_head=2, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), feats, src, dst, dst, ts,
+                        *subs, deterministic=True)
+    pos, neg = model.apply(params, feats, src, dst, dst, ts, *subs,
+                           deterministic=True)
+    assert pos.shape == (B, 1) and neg.shape == (B, 1)
+    assert np.isfinite(np.asarray(pos)).all()
+
+    # explain weight of all-ones must reproduce the unweighted output
+    ones = [jnp.ones_like(s.nodes[i], jnp.float32)
+            for s, i in [(subs[0], 0), (subs[0], 1)]]
+    ew = ((ones, ones), (ones, ones))
+    # per-side weights: hop lists for src and tgt
+    ones_src = [jnp.ones(subs[0].nodes[0].shape, jnp.float32),
+                jnp.ones(subs[0].nodes[1].shape, jnp.float32)]
+    ones_tgt = [jnp.ones(subs[1].nodes[0].shape, jnp.float32),
+                jnp.ones(subs[1].nodes[1].shape, jnp.float32)]
+    ones_bgd = [jnp.ones(subs[2].nodes[0].shape, jnp.float32),
+                jnp.ones(subs[2].nodes[1].shape, jnp.float32)]
+    from tempme_tpu.models.tgat import TGAT as _T
+    pos1, neg1 = model.apply(params, feats, src, dst, dst, ts, *subs,
+                             explain_weights=((ones_src, ones_tgt),
+                                              (ones_src, ones_bgd)),
+                             deterministic=True, method=_T.contrast)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(pos1), rtol=1e-5)
+
+    # all-zero explain weights must change the score (edges knocked out)
+    zeros_src = [jnp.zeros_like(x) for x in ones_src]
+    pos0, _ = model.apply(params, feats, src, dst, dst, ts, *subs,
+                          explain_weights=((zeros_src, ones_tgt),
+                                           (zeros_src, ones_bgd)),
+                          deterministic=True, method=_T.contrast)
+    assert not np.allclose(np.asarray(pos), np.asarray(pos0))
+
+
+def test_graphmixer_shapes(setup):
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.graphmixer import GraphMixer
+    model = GraphMixer(node_dim=DN, edge_dim=DE, num_tokens=N_DEG,
+                       num_layers=2, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), feats, src, dst, dst, ts,
+                        *subs, deterministic=True)
+    pos, neg = model.apply(params, feats, src, dst, dst, ts, *subs,
+                           deterministic=True)
+    assert pos.shape == (B, 1) and np.isfinite(np.asarray(pos)).all()
+    # ones explain == no explain
+    ew = tuple(jnp.ones((B, N_DEG), jnp.float32) for _ in range(3))
+    from tempme_tpu.models.graphmixer import GraphMixer as _G
+    pos1, _ = model.apply(params, feats, src, dst, dst, ts, *subs,
+                          explain_weights=ew, deterministic=True,
+                          method=_G.contrast)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(pos1), rtol=1e-5)
+
+
+def test_tgn_memory_semantics(setup):
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    model = TGN(node_dim=DN, edge_dim=DE, num_nodes=g.num_nodes,
+                n_layers=2, n_head=2, dropout=0.0)
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    params = model.init(jax.random.PRNGKey(0), feats, mem, src, dst, dst, ts,
+                        eidx, *subs, deterministic=True)
+    (pos, neg), mem1 = model.apply(params, feats, mem, src, dst, dst, ts,
+                                   eidx, *subs, deterministic=True,
+                                   method=TGN.contrast)
+    assert pos.shape == (B, 1)
+    # messages stored for the batch's src/dst nodes only
+    touched = set(np.asarray(src).tolist()) | set(np.asarray(dst).tolist())
+    valid = np.where(np.asarray(mem1.msg_valid))[0]
+    assert set(valid.tolist()) == touched
+    # msg_ts of touched nodes equals the batch cut time
+    assert np.allclose(np.asarray(mem1.msg_ts)[valid], float(ts[0]))
+    # a second step advances memory for nodes with pending messages
+    (pos2, _), mem2 = model.apply(params, feats, mem1, src, dst, dst, ts + 1,
+                                  eidx, *subs, deterministic=True,
+                                  method=TGN.contrast)
+    changed = np.abs(np.asarray(mem2.memory) - np.asarray(mem1.memory)).sum(1)
+    assert (changed[valid] > 0).any()
+    untouched = np.setdiff1d(np.arange(g.num_nodes), list(touched))
+    assert np.allclose(np.asarray(mem2.memory)[untouched],
+                       np.asarray(mem1.memory)[untouched])
+    # forbidden_memory_update leaves state untouched
+    (_, _), mem3 = model.apply(params, feats, mem1, src, dst, dst, ts + 2,
+                               eidx, *subs, deterministic=True,
+                               update_memory=False, method=TGN.contrast)
+    assert np.allclose(np.asarray(mem3.msg_ts), np.asarray(mem1.msg_ts))
+    assert np.allclose(np.asarray(mem3.memory), np.asarray(mem1.memory))
+
+
+def test_tgn_last_message_wins(setup):
+    """A node appearing multiple times in a batch keeps its LAST message
+    (destination-side stores win; message_aggregator.py:34-55)."""
+    g, feats, _, _, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    model = TGN(node_dim=DN, edge_dim=DE, num_nodes=g.num_nodes,
+                n_layers=2, n_head=2, dropout=0.0)
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    src = jnp.asarray(np.array([5, 5, 7, 9, 5, 7, 9, 9], np.int32))
+    dst = jnp.asarray(np.array([6, 8, 5, 6, 6, 6, 6, 5], np.int32))
+    params = model.init(jax.random.PRNGKey(0), feats, mem, src, dst, dst, ts,
+                        eidx, *subs, deterministic=True)
+    (_, _), mem1 = model.apply(params, feats, mem, src, dst, dst, ts, eidx,
+                               *subs, deterministic=True, method=TGN.contrast)
+    # node 5: last occurrence is as dst of event 7 (position B+7 in the
+    # [src; dst] concatenation) -> its message must use e_feat of eidx[7]
+    e7 = int(np.asarray(eidx)[7])
+    msg5 = np.asarray(mem1.msg_buf)[5]
+    efeat = np.asarray(feats.edge)[e7]
+    got = msg5[2 * DN:2 * DN + DE]
+    np.testing.assert_allclose(got, efeat, rtol=1e-5)
+
+
+def test_training_learns_synthetic_pattern():
+    """A few steps of TGAT training on a separable synthetic stream should
+    reduce loss."""
+    events = make_events(400, 24, seed=11)
+    g = build_temporal_graph(events)
+    rng = np.random.RandomState(1)
+    feats = Features(
+        node=jnp.asarray(np.r_[np.zeros((1, DN)),
+                               rng.randn(g.num_nodes - 1, DN)].astype(np.float32)),
+        edge=jnp.asarray(np.r_[np.zeros((1, DE)),
+                               rng.randn(g.num_edges - 1, DE)].astype(np.float32)))
+    from tempme_tpu.models.tgat import TGAT
+    model = TGAT(node_dim=DN, edge_dim=DE, num_layers=2, n_head=2, dropout=0.0)
+    opt = optax.adam(1e-2)
+    dst_table = jnp.asarray(np.unique(events.dst))
+    step = loops.make_base_train_step(model, g, feats, dst_table, 2, N_DEG, opt)
+    batches = list(loops.iter_batches(events, 64, True, 0, True))
+    key = jax.random.PRNGKey(0)
+    b = batches[0]
+    _, s0, s1, s2 = loops.sample_support(g, key, b, dst_table, 2, N_DEG)
+    params = model.init({"params": key, "dropout": key}, feats, b.src, b.dst,
+                        b.dst, b.ts, s0, s1, s2, deterministic=True)
+    state = loops.TrainState(params, opt.init(params), key)
+    losses = []
+    for i in range(12):
+        state, aux = step(state, batches[i % len(batches)])
+        losses.append(float(aux["loss"]))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4])
