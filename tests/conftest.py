@@ -3,14 +3,6 @@
 This mirrors how multi-chip sharding is validated without TPU hardware
 (XLA_FLAGS=--xla_force_host_platform_device_count=8).
 """
-import os
-
-os.environ["JAX_PLATFORMS"] = "cpu"  # force-override (env may pin a TPU backend)
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
 import numpy as np
 import pytest
 

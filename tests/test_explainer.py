@@ -1,0 +1,122 @@
+"""Explainer unit tests: segment ops vs numpy oracles, Beta sampling, KL loss,
+walk importance, and a full forward through TempME on synthetic walks."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tempme_tpu.ops.segment import (class_mean, edge_cooccurrence_counts,
+                                    walk_to_edge_max)
+
+
+def test_walk_to_edge_max_oracle():
+    r = np.random.RandomState(0)
+    b, s, t = 4, 30, 12
+    walk_ids = r.randint(0, 10, (b, s)).astype(np.int32)
+    imp = r.rand(b, s).astype(np.float32)
+    targets = r.randint(0, 10, (b, t)).astype(np.int32)
+    got = np.asarray(walk_to_edge_max(jnp.asarray(walk_ids), jnp.asarray(imp),
+                                      jnp.asarray(targets)))
+    for i in range(b):
+        for j in range(t):
+            m = imp[i][walk_ids[i] == targets[i, j]]
+            expect = m.max() if len(m) else 0.0
+            assert abs(got[i, j] - expect) < 1e-6
+
+
+def test_edge_cooccurrence_oracle():
+    r = np.random.RandomState(1)
+    b, w = 3, 8
+    ids = r.randint(0, 5, (b, w, 3)).astype(np.int32)
+    got = np.asarray(edge_cooccurrence_counts(jnp.asarray(ids)))
+    for bi in range(b):
+        for m in range(w):
+            for c in range(3):
+                for c2 in range(3):
+                    expect = (ids[bi, :, c2] == ids[bi, m, c]).sum()
+                    assert got[bi, m, c, c2] == expect
+
+
+def test_class_mean_oracle():
+    r = np.random.RandomState(2)
+    prob = r.rand(5, 20).astype(np.float32)
+    cat = r.randint(0, 12, (5, 20)).astype(np.int32)
+    got = np.asarray(class_mean(jnp.asarray(prob), jnp.asarray(cat)))
+    for b in range(5):
+        for c in range(12):
+            m = prob[b][cat[b] == c]
+            expect = m.mean() if len(m) else 0.0
+            assert abs(got[b, c] - expect) < 1e-5
+
+
+def test_beta_sample_properties():
+    from tempme_tpu.explain.tempme import beta_sample
+    p = jnp.asarray(np.linspace(0.01, 0.99, 50, dtype=np.float32))
+    # eval: mean of Beta(max(10p,1), max(10(1-p),1)) in (0, 1), monotone in p
+    ev = np.asarray(beta_sample(None, p, False))
+    assert (ev > 0).all() and (ev < 1).all()
+    assert (np.diff(ev) >= -1e-6).all()
+    # train: samples in (0,1), gradient flows
+    s = np.asarray(beta_sample(jax.random.PRNGKey(0), p, True))
+    assert (s > 0).all() and (s < 1).all()
+    g = jax.grad(lambda x: beta_sample(jax.random.PRNGKey(0), x, True).sum())(p)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_kl_loss_prior_behavior():
+    from tempme_tpu.explain.tempme import kl_sparsity_loss
+    null = jnp.asarray(np.full(12, 1 / 12, np.float32))
+    cat = jnp.asarray(np.random.RandomState(0).randint(0, 12, (4, 30)))
+    # probabilities at the target sparsity give a lower KL than saturated ones
+    lo = kl_sparsity_loss(jnp.full((4, 30, 1), 0.3), cat, null, target=0.3)
+    hi = kl_sparsity_loss(jnp.full((4, 30, 1), 0.99), cat, null, target=0.3)
+    assert float(lo) < float(hi)
+    # uniform prior variant
+    lo_u = kl_sparsity_loss(jnp.full((4, 30, 1), 0.3), cat, null,
+                            target=0.3, prior="uniform")
+    hi_u = kl_sparsity_loss(jnp.full((4, 30, 1), 0.95), cat, null,
+                            target=0.3, prior="uniform")
+    assert float(lo_u) < float(hi_u)
+
+
+def test_tempme_forward_shapes():
+    from tempme_tpu.data.graph import build_temporal_graph
+    from tempme_tpu.explain.tempme import TempME, make_walk_inputs
+    from tempme_tpu.models.common import Features
+    from tempme_tpu.ops import sampler as S
+    from tests.conftest import make_events
+
+    dn, de, b, n1, n2 = 10, 4, 6, 5, 2
+    events = make_events(250, 25, seed=7)
+    g = build_temporal_graph(events)
+    r = np.random.RandomState(0)
+    feats = Features(
+        node=jnp.asarray(np.r_[np.zeros((1, dn)),
+                               r.randn(g.num_nodes - 1, dn)].astype(np.float32)),
+        edge=jnp.asarray(np.r_[np.zeros((1, de)),
+                               r.randn(g.num_edges - 1, de)].astype(np.float32)))
+    src = jnp.asarray(r.randint(1, 25, b).astype(np.int32))
+    ts = jnp.asarray(np.full(b, float(events.ts.max()) + 1, np.float32))
+    sub = S.find_k_hop(g, jax.random.PRNGKey(0), src, ts, 2, n1)
+    walks = make_walk_inputs(
+        S.find_k_walks(g, jax.random.PRNGKey(1), src, sub, n1, n2))
+
+    model = TempME(node_dim=dn, edge_dim=de, hid_dim=16, base_type="tgn",
+                   dropout=0.0)
+    params = model.init({"params": jax.random.PRNGKey(0)}, feats, walks, ts,
+                        sub, method=TempME.init_all)
+    imp = model.apply(params, feats, walks, ts, deterministic=True)
+    assert imp.shape == (b, n1 * n2, 1)
+    assert (np.asarray(imp) >= 0).all() and (np.asarray(imp) <= 1).all()
+
+    e0, e1 = model.apply(params, feats, sub, imp, walks, training=False,
+                         deterministic=True, method=TempME.edge_importance)
+    assert e0.shape == (b, n1) and e1.shape == (b, n1 * n1)
+    # padded support entries must carry zero importance
+    pad0 = np.asarray(sub.nodes[0]) == 0
+    assert np.allclose(np.asarray(e0)[pad0], 0.0)
+
+    expl = model.apply(params, feats, sub, imp, walks, sub, imp, walks,
+                       sub, imp, walks, training=False, deterministic=True,
+                       method=TempME.retrieve_explanation)
+    assert len(expl) == 2 and expl[0].shape == (3 * b, n1)
