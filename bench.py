@@ -53,18 +53,20 @@ def main():
     optimizer = optax.adam(1e-3)
     state = loops.TrainState(params, optimizer.init(params), key)
     step = make_tgn_train_step(model, g, feats, dst_table, n_degree, optimizer)
+    epoch_fn = loops.make_tgn_train_epoch(step)
 
+    stacked = loops.stack_batches(ds.train, bs, shuffle=True, seed=0)
     # warmup (compile)
-    for i in range(3):
-        state, mem, aux = step(state, mem, batches[i % len(batches)])
-    jax.block_until_ready(aux["loss"])
+    state, mem, auxs = epoch_fn(state, mem, stacked)
+    jax.block_until_ready(auxs["loss"])
 
-    n_steps = 30
+    n_epochs = 5
     t0 = time.time()
-    for i in range(n_steps):
-        state, mem, aux = step(state, mem, batches[i % len(batches)])
-    jax.block_until_ready(aux["loss"])
+    for e in range(n_epochs):
+        state, mem, auxs = epoch_fn(state, mem, stacked)
+    jax.block_until_ready(auxs["loss"])
     dt = time.time() - t0
+    n_steps = stacked.src.shape[0] * n_epochs
     events_per_s = n_steps * bs / dt
 
     print(json.dumps({

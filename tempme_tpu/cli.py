@@ -1,0 +1,45 @@
+"""Unified CLI (replaces the reference's four standalone argparse scripts).
+
+    python -m tempme_tpu.cli learn-base  --data uslegis_sampled --base_type tgn
+    python -m tempme_tpu.cli preprocess  --data uslegis_sampled
+    python -m tempme_tpu.cli explain     --data uslegis_sampled --base_type tgn
+    python -m tempme_tpu.cli enhance     --data uslegis_sampled --base_type tgn
+    python -m tempme_tpu.cli pipeline    --data uslegis_sampled --base_type tgn
+    python -m tempme_tpu.cli sample-dataset --data enron --ratio 0.15
+    python -m tempme_tpu.cli analyze     --data uslegis_sampled
+"""
+from __future__ import annotations
+
+import sys
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print(__doc__)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "learn-base":
+        from .train.learn_base import main as m
+        return m(rest)
+    if cmd == "preprocess":
+        from .train.preprocess import main as m
+        return m(rest)
+    if cmd == "explain":
+        from .train.temp_exp_main import main as m
+        return m(rest)
+    if cmd == "enhance":
+        from .train.enhance_main import main as m
+        return m(rest)
+    if cmd == "pipeline":
+        from .train.batch_train import main as m
+        return m(rest)
+    if cmd in ("sample-dataset", "analyze"):
+        from .train.sample_tools import main as m
+        return m([cmd] + rest)
+    print(f"unknown command {cmd!r}\n{__doc__}")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -1,0 +1,55 @@
+"""Pipeline orchestration (reference batch_train.py): run
+learn-base -> preprocess -> explainer -> enhance for one or more base models,
+in-process (the reference shells out via subprocess, batch_train.py:32-80, and
+swallows failures; we surface them but keep going to the next model)."""
+from __future__ import annotations
+
+import argparse
+import time
+import traceback
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("tempme_tpu full pipeline")
+    p.add_argument("-d", "--data", type=str, default="uslegis_sampled")
+    p.add_argument("--base_types", type=str, default="tgn,graphmixer,tgat")
+    p.add_argument("--n_epoch_base", type=int, default=20)
+    p.add_argument("--n_epoch_exp", type=int, default=10)
+    p.add_argument("--n_epoch_enh", type=int, default=10)
+    p.add_argument("--bs", type=int, default=256)
+    p.add_argument("--exp_bs", type=int, default=100)
+    p.add_argument("--skip_enhance", action="store_true")
+    args = p.parse_args(argv)
+
+    results = {}
+    for base_type in args.base_types.split(","):
+        t0 = time.time()
+        stage_results = {}
+        try:
+            from .learn_base import main as learn_main
+            stage_results["base_ap"] = learn_main([
+                "--data", args.data, "--base_type", base_type,
+                "--n_epoch", str(args.n_epoch_base), "--bs", str(args.bs),
+                "--n_layer", "2"])
+            from .temp_exp_main import main as exp_main
+            stage_results["explainer_score"] = exp_main([
+                "--data", args.data, "--base_type", base_type,
+                "--n_epoch", str(args.n_epoch_exp), "--bs", str(args.exp_bs)])
+            if not args.skip_enhance and base_type != "tgat":
+                from .enhance_main import main as enh_main
+                stage_results["enhance_ap"] = enh_main([
+                    "--data", args.data, "--base_type", base_type,
+                    "--n_epoch", str(args.n_epoch_enh),
+                    "--bs", str(args.exp_bs)])
+        except Exception:
+            traceback.print_exc()
+            stage_results["error"] = True
+        stage_results["wall_s"] = round(time.time() - t0, 1)
+        results[base_type] = stage_results
+        print(f"[pipeline] {base_type}: {stage_results}")
+    print(f"[pipeline] done: {results}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

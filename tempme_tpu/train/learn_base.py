@@ -123,22 +123,25 @@ def main(argv=None):
     best_ap = 0.0
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_path = osp.join(args.out_dir, f"{args.base_type}_{args.data}.msgpack")
+    epoch_fn = loops.make_base_train_epoch(train_step)
     for epoch in range(args.n_epoch):
         t0 = time.time()
-        losses, aps, aucs = [], [], []
-        n_events = 0
-        for batch in loops.iter_batches(ds.train, args.bs, shuffle=True,
-                                        seed=args.seed + epoch,
-                                        drop_remainder=True):
-            state, aux = train_step(state, batch)
-            n_events += len(batch.src)
-            losses.append(float(aux["loss"]))
-            s = np.r_[jax.nn.sigmoid(np.asarray(aux["pos"])),
-                      jax.nn.sigmoid(np.asarray(aux["neg"]))]
+        batches = loops.stack_batches(ds.train, args.bs, shuffle=True,
+                                      seed=args.seed + epoch)
+        state, auxs = epoch_fn(state, batches)
+        jax.block_until_ready(auxs["loss"])
+        dt = time.time() - t0
+        k = batches.src.shape[0]
+        n_events = k * args.bs
+        losses = np.asarray(auxs["loss"])
+        pos = 1 / (1 + np.exp(-np.asarray(auxs["pos"])))   # [K, B]
+        neg = 1 / (1 + np.exp(-np.asarray(auxs["neg"])))
+        aps, aucs = [], []
+        for i in range(k):
+            s = np.r_[pos[i], neg[i]]
             l = np.r_[np.ones(args.bs), np.zeros(args.bs)]
             aps.append(M.average_precision_score(l, s))
             aucs.append(M.roc_auc_score(l, s))
-        dt = time.time() - t0
         test = evaluate(eval_step, state.params, ds.test, args.bs)
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
               f"train_ap={np.mean(aps):.4f} train_auc={np.mean(aucs):.4f} "

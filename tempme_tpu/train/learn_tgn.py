@@ -126,21 +126,24 @@ def main(args):
     best_ap = 0.0
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_path = osp.join(args.out_dir, f"tgn_{args.data}.msgpack")
+    epoch_fn = loops.make_tgn_train_epoch(train_step)
     for epoch in range(args.n_epoch):
         t0 = time.time()
-        losses, aps = [], []
-        n_events = 0
-        for batch in loops.iter_batches(ds.train, args.bs, shuffle=True,
-                                        seed=args.seed + epoch,
-                                        drop_remainder=True):
-            state, mem, aux = train_step(state, mem, batch)
-            n_events += len(batch.src)
-            losses.append(float(aux["loss"]))
-            s = np.r_[jax.nn.sigmoid(np.asarray(aux["pos"])),
-                      jax.nn.sigmoid(np.asarray(aux["neg"]))]
+        batches = loops.stack_batches(ds.train, args.bs, shuffle=True,
+                                      seed=args.seed + epoch)
+        state, mem, auxs = epoch_fn(state, mem, batches)
+        jax.block_until_ready(auxs["loss"])
+        dt = time.time() - t0
+        k = batches.src.shape[0]
+        n_events = k * args.bs
+        losses = np.asarray(auxs["loss"])
+        pos = 1 / (1 + np.exp(-np.asarray(auxs["pos"])))
+        neg = 1 / (1 + np.exp(-np.asarray(auxs["neg"])))
+        aps = []
+        for i in range(k):
+            s = np.r_[pos[i], neg[i]]
             l = np.r_[np.ones(args.bs), np.zeros(args.bs)]
             aps.append(M.average_precision_score(l, s))
-        dt = time.time() - t0
         mem_backup = mem                       # backup_memory
         test = evaluate_tgn(eval_step, state.params, mem, ds.test, args.bs)
         mem = mem_backup                       # restore_memory

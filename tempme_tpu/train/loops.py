@@ -104,6 +104,52 @@ def make_base_eval_step(model, g_full: TemporalGraph, feats: Features,
     return step
 
 
+def stack_batches(events, batch_size: int, shuffle: bool, seed: int):
+    """All full batches of an epoch as one [K, B] Batch (device-resident),
+    for scan-based epoch execution."""
+    import numpy as np
+    n = len(events)
+    idx = np.arange(n)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    k = n // batch_size
+    idx = idx[:k * batch_size].reshape(k, batch_size)
+    return Batch(
+        src=jnp.asarray(events.src[idx]),
+        dst=jnp.asarray(events.dst[idx]),
+        ts=jnp.asarray(events.ts[idx]),
+        eidx=jnp.asarray(events.e_idx[idx]),
+        mask=jnp.ones((k, batch_size), bool),
+    )
+
+
+def make_base_train_epoch(step_fn):
+    """Wrap a per-batch train step into a jitted lax.scan over stacked batches:
+    one dispatch per epoch chunk instead of one per batch (kills host/dispatch
+    latency, which dominates at these model sizes)."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def epoch(state, batches: Batch):
+        def body(state, batch):
+            state, aux = step_fn(state, batch)
+            return state, aux
+        return jax.lax.scan(body, state, batches)
+
+    return epoch
+
+
+def make_tgn_train_epoch(step_fn):
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(state, mem, batches: Batch):
+        def body(carry, batch):
+            state, mem = carry
+            state, mem, aux = step_fn(state, mem, batch)
+            return (state, mem), aux
+        (state, mem), auxs = jax.lax.scan(body, (state, mem), batches)
+        return state, mem, auxs
+    return epoch
+
+
 def iter_batches(events, batch_size: int, shuffle: bool, seed: int,
                  drop_remainder: bool):
     """Fixed-shape batches (padded final batch carries a validity mask)."""
