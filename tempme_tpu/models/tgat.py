@@ -4,6 +4,12 @@ Pyramid aggregation over a k-hop temporal support tree: hop widths
 n, n², ..., n^k; at stack layer ℓ every remaining pyramid level i aggregates
 its children (level i+1) through a shared 1×n temporal attention
 (TGAT/TGAT.py:678-706). Fully batched, fixed shapes, one jit region.
+
+Uses the split-projection attention (ops/attention.py): at stack layer 0 every
+pyramid level holds *raw* node features, so the node table is projected once
+and gathered post-projection; deeper layers project their computed embeddings
+directly. The query's zero-edge slot (TGAT/TGAT.py:380) contributes nothing
+through a bias-free projection and is skipped.
 """
 from __future__ import annotations
 
@@ -12,7 +18,7 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import TemporalMultiHeadAttention
+from ..ops.attention import SplitTemporalAttention
 from ..ops.encodings import TimeEncode
 from ..ops.layers import GatedMerge, ConcatMerge
 from ..ops.sampler import Subgraph
@@ -27,6 +33,7 @@ class TGATAttnLayer(nn.Module):
     time_dim: int
     n_head: int
     dropout: float
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
         model_dim = self.feat_dim + self.edge_dim + self.time_dim
@@ -34,19 +41,32 @@ class TGATAttnLayer(nn.Module):
         # which rejects e.g. uslegis (172+1+172=345). We round the per-head
         # dim up instead; the output projection maps h*d_k back to model_dim.
         d_k = -(-model_dim // self.n_head)
-        self.mha = TemporalMultiHeadAttention(
-            n_head=self.n_head, d_model=model_dim, d_key=model_dim,
-            d_k=d_k, dropout=self.dropout)
+        self.attn = SplitTemporalAttention(
+            n_head=self.n_head, d_model=model_dim, d_k=d_k,
+            d_node=self.feat_dim, d_edge=self.edge_dim, d_time=self.time_dim,
+            dropout=self.dropout, compute_dtype=self.compute_dtype)
         self.merger = GatedMerge(dim3=self.feat_dim, dim4=self.feat_dim)
 
-    def __call__(self, src, src_t, ngh, ngh_t, ngh_e, mask,
+    def project_node_table(self, table):
+        return self.attn.project_node_table(table)
+
+    def project_node(self, x):
+        return self.attn.project_node(x)
+
+    def project_edge_table(self, table):
+        return self.attn.project_edge_table(table)
+
+    def project_edge(self, x):
+        return self.attn.project_edge(x)
+
+    def __call__(self, src, src_t, k_nv, v_nv, k_ev, v_ev, ngh_t, mask,
                  explain_weight=None, deterministic=True):
         b, nq, _ = src.shape
         src_e = jnp.zeros((b, nq, self.edge_dim), src.dtype)
-        q = jnp.concatenate([src, src_e, src_t], axis=-1)
-        k = jnp.concatenate([ngh, ngh_e, ngh_t], axis=-1)
-        out, attn = self.mha(q, k, mask=mask, explain_weight=explain_weight,
-                             deterministic=deterministic)
+        residual = jnp.concatenate([src, src_e, src_t], axis=-1)
+        out, attn = self.attn(src, src_t, residual, k_nv, v_nv, k_ev, v_ev,
+                              ngh_t, mask=mask, explain_weight=explain_weight,
+                              deterministic=deterministic)
         return self.merger(out, src), attn
 
 
@@ -56,6 +76,7 @@ class TGAT(nn.Module):
     num_layers: int = 3
     n_head: int = 2
     dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @property
     def time_dim(self) -> int:
@@ -66,7 +87,8 @@ class TGAT(nn.Module):
         self.attn_layers = [
             TGATAttnLayer(feat_dim=self.node_dim, edge_dim=self.edge_dim,
                           time_dim=self.time_dim, n_head=self.n_head,
-                          dropout=self.dropout, name=f"attn_{i}")
+                          dropout=self.dropout,
+                          compute_dtype=self.compute_dtype, name=f"attn_{i}")
             for i in range(self.num_layers)]
         self.affinity_score = ConcatMerge(hidden=self.node_dim, out=1)
 
@@ -86,23 +108,40 @@ class TGAT(nn.Module):
                    deterministic: bool = True) -> jnp.ndarray:
         """forward_msg (TGAT/TGAT.py:607-619): [B] src -> [B, node_dim]."""
         n = sub.nodes[0].shape[1]
-        hidden = [feats.node[src[:, None]]]
-        masks = []
-        for nodes in sub.nodes:
-            hidden.append(feats.node[nodes])
-            masks.append(nodes == 0)
+        node_levels = [src[:, None]] + list(sub.nodes)
+        masks = [nodes == 0 for nodes in sub.nodes]
         tfeat = self._time_features(cut_time, sub, n)
-        efeat = [feats.edge[e] for e in sub.eids]
+        num_edges = feats.edge.shape[0]
 
         l = self.num_layers
+        hidden = None                       # None => levels hold raw features
         for layer in range(l):
+            lay = self.attn_layers[layer]
+            if hidden is None:
+                k_tab, v_tab = lay.project_node_table(feats.node)
+            # edge projections shared across levels of this layer
+            use_edge_table = max(x.size for x in sub.eids[:l - layer]) \
+                > num_edges
+            if use_edge_table:
+                ek_tab, ev_tab = lay.project_edge_table(feats.edge)
             new_hidden = []
             for i in range(l - layer):
+                if hidden is None:
+                    q_node = feats.node[node_levels[i]]
+                    k_nv = k_tab[node_levels[i + 1]]
+                    v_nv = v_tab[node_levels[i + 1]]
+                else:
+                    q_node = hidden[i]
+                    k_nv, v_nv = lay.project_node(hidden[i + 1])
+                if use_edge_table:
+                    k_ev = ek_tab[sub.eids[i]]
+                    v_ev = ev_tab[sub.eids[i]]
+                else:
+                    k_ev, v_ev = lay.project_edge(feats.edge[sub.eids[i]])
                 ew = explain_weights[i] if explain_weights is not None else None
-                out, _ = self.attn_layers[layer](
-                    hidden[i], tfeat[i], hidden[i + 1], tfeat[i + 1],
-                    efeat[i], masks[i], explain_weight=ew,
-                    deterministic=deterministic)
+                out, _ = lay(q_node, tfeat[i], k_nv, v_nv, k_ev, v_ev,
+                             tfeat[i + 1], masks[i], explain_weight=ew,
+                             deterministic=deterministic)
                 new_hidden.append(out)
             hidden = new_hidden
         return hidden[0].squeeze(1)

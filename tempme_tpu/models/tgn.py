@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.attention import TemporalMultiHeadAttention
+from ..ops.attention import SplitTemporalAttention
 from ..ops.encodings import TimeEncode
 from ..ops.layers import ConcatMerge
 from ..ops.sampler import Subgraph
@@ -51,31 +51,45 @@ def init_memory_state(num_nodes: int, memory_dim: int, raw_dim: int
 class TGNAttnLayer(nn.Module):
     """TemporalAttentionLayer (TGN/modules/embedding_module.py:120-182):
     q = [feat || te(0)], k = [ngh_feat || edge || te(Δt)], then a concat-merge
-    back to node_dim."""
+    back to node_dim. Built on the split-projection attention so node/edge
+    tables project once per step (ops/attention.py docstring)."""
     node_dim: int
     edge_dim: int
     time_dim: int
     n_head: int
     dropout: float
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
         query_dim = self.node_dim + self.time_dim
-        key_dim = self.node_dim + self.time_dim + self.edge_dim
         d_k = -(-query_dim // self.n_head)
-        self.mha = TemporalMultiHeadAttention(
-            n_head=self.n_head, d_model=query_dim, d_key=key_dim,
-            d_k=d_k, dropout=self.dropout)
+        self.attn = SplitTemporalAttention(
+            n_head=self.n_head, d_model=query_dim, d_k=d_k,
+            d_node=self.node_dim, d_edge=self.edge_dim, d_time=self.time_dim,
+            dropout=self.dropout, compute_dtype=self.compute_dtype)
         self.merger = ConcatMerge(hidden=self.node_dim, out=self.node_dim)
 
-    def __call__(self, src_feat, src_time_emb, ngh_feat, ngh_time_emb,
-                 edge_feat, mask, explain_weight=None, deterministic=True):
-        # src_feat: [Bq, Dn]; ngh_*: [Bq, n, .]; mask: [Bq, n]
-        q = jnp.concatenate([src_feat[:, None, :], src_time_emb], axis=-1)
-        k = jnp.concatenate([ngh_feat, edge_feat, ngh_time_emb], axis=-1)
-        n = k.shape[1]
-        out, attn = self.mha(q, k.reshape(k.shape[0], n, -1), mask=mask,
-                             explain_weight=explain_weight,
-                             deterministic=deterministic)
+    def project_node_table(self, table):
+        return self.attn.project_node_table(table)
+
+    def project_node(self, x):
+        return self.attn.project_node(x)
+
+    def project_edge_table(self, table):
+        return self.attn.project_edge_table(table)
+
+    def project_edge(self, x):
+        return self.attn.project_edge(x)
+
+    def __call__(self, src_feat, src_time_emb, k_nv, v_nv, k_ev, v_ev,
+                 ngh_time_emb, mask, explain_weight=None, deterministic=True):
+        # src_feat: [Bq, Dn]; projected key/value parts: [Bq, n, h*dk]
+        q_node = src_feat[:, None, :]
+        residual = jnp.concatenate([q_node, src_time_emb], axis=-1)
+        out, attn = self.attn(q_node, src_time_emb, residual,
+                              k_nv, v_nv, k_ev, v_ev, ngh_time_emb,
+                              mask=mask, explain_weight=explain_weight,
+                              deterministic=deterministic)
         out = out.squeeze(1)
         return self.merger(out, src_feat), attn
 
@@ -88,6 +102,7 @@ class TGN(nn.Module):
     n_head: int = 2
     dropout: float = 0.1
     message_dim: int = 100      # TGN/tgn.py:17 message_dimension=100
+    compute_dtype: jnp.dtype = jnp.bfloat16
 
     @property
     def time_dim(self) -> int:
@@ -107,7 +122,8 @@ class TGN(nn.Module):
         self.attn_layers = [
             TGNAttnLayer(node_dim=self.node_dim, edge_dim=self.edge_dim,
                          time_dim=self.time_dim, n_head=self.n_head,
-                         dropout=self.dropout, name=f"attn_{i}")
+                         dropout=self.dropout,
+                         compute_dtype=self.compute_dtype, name=f"attn_{i}")
             for i in range(self.n_layers)]
         self.message_mlp = nn.Sequential([
             nn.Dense(self.raw_message_dim // 2), nn.relu,
@@ -183,11 +199,7 @@ class TGN(nn.Module):
         b = anchors.shape[0]
         n = sub.nodes[0].shape[1]
         node_levels = [anchors[:, None]] + [x for x in sub.nodes]
-        feat_levels = [feats.node[x] + memory[x] for x in node_levels]
-        if edge_attr is None:
-            edge_feats = [feats.edge[e] for e in sub.eids]
-        else:
-            edge_feats = list(edge_attr)
+        combined = feats.node + memory       # [N, Dn]: memory added to raw
         # Δt per hop vs parent (embedding_module.py:300-314)
         tfeats = []
         standard = cut_time[:, None]
@@ -197,24 +209,44 @@ class TGN(nn.Module):
             standard = t_rec
 
         num_levels = len(node_levels)
-        ngh_feat = feat_levels[-1].reshape(-1, self.node_dim)
+        prev_emb = None                      # updated embeddings from prev step
         for i in range(num_levels - 1):
             t = num_levels - 1 - i
-            src_feat = feat_levels[t - 1].reshape(-1, self.node_dim)
+            layer = self.attn_layers[i]
+            src_feat = combined[node_levels[t - 1]].reshape(-1, self.node_dim)
             bq = src_feat.shape[0]
             src_t = self.time_encoder(jnp.zeros((bq, 1), jnp.float32))
-            ngh = ngh_feat.reshape(bq, n, self.node_dim)
+            ngh_nodes = node_levels[t]
+
+            if prev_emb is None:
+                # raw(+memory) keys: project the [N, Dn] table once, gather
+                k_tab, v_tab = layer.project_node_table(combined)
+                k_nv = k_tab[ngh_nodes].reshape(bq, n, -1)
+                v_nv = v_tab[ngh_nodes].reshape(bq, n, -1)
+            else:
+                k_nv, v_nv = layer.project_node(prev_emb.reshape(bq, n, -1))
+
+            if edge_attr is not None:
+                k_ev, v_ev = layer.project_edge(
+                    edge_attr[t - 1].reshape(bq, n, -1))
+            elif ngh_nodes.size > feats.edge.shape[0]:
+                ek_tab, ev_tab = layer.project_edge_table(feats.edge)
+                eids = sub.eids[t - 1]
+                k_ev = ek_tab[eids].reshape(bq, n, -1)
+                v_ev = ev_tab[eids].reshape(bq, n, -1)
+            else:
+                e_raw = feats.edge[sub.eids[t - 1]].reshape(bq, n, -1)
+                k_ev, v_ev = layer.project_edge(e_raw)
+
             e_t = tfeats[t - 1].reshape(bq, n, -1)
-            e_f = edge_feats[t - 1].reshape(bq, n, -1)
-            mask = (node_levels[t] == 0).reshape(bq, n)
+            mask = (ngh_nodes == 0).reshape(bq, n)
             ew = None
             if explain_weights is not None:
                 ew = explain_weights[t - 1].reshape(bq, n)
-            out, _ = self.attn_layers[i](src_feat, src_t, ngh, e_t, e_f, mask,
-                                         explain_weight=ew,
-                                         deterministic=deterministic)
-            ngh_feat = out
-        return ngh_feat                      # [B, node_dim]
+            out, _ = layer(src_feat, src_t, k_nv, v_nv, k_ev, v_ev, e_t, mask,
+                           explain_weight=ew, deterministic=deterministic)
+            prev_emb = out
+        return prev_emb                      # [B, node_dim]
 
     # ------------------------------------------------------------------
     # public API

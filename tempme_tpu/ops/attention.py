@@ -1,16 +1,28 @@
 """1-query x n-neighbor temporal multi-head attention.
 
-The workhorse aggregation op of TGAT and TGN. Instead of the reference's
-reshape-to-bmm pipeline ([B*N_src*n_head, 1, d] batched matmuls,
-TGAT/TGAT.py:110-137), we express the whole thing as batched einsums over
-[B, N_src, n, h, d] so XLA can tile it onto the MXU in one fused region.
+The workhorse aggregation op of TGAT and TGN (reference
+TGAT/TGAT.py:55-137, TGN/modules/embedding_module.py:7-87). Two forms:
 
-Semantics (TGAT/TGAT.py:55-137, TGN/modules/embedding_module.py:7-87):
-  * scores = q.k / sqrt(d_k); padded neighbors filled with -1e10 before softmax
+``TemporalMultiHeadAttention`` — the straightforward concat-projection form
+    (kept as the reference implementation for parity tests).
+
+``SplitTemporalAttention`` — the TPU-optimized form. The reference projects
+    every gathered key position through one [Dn+De+Dt, h*dk] kernel, which
+    materializes a [B*n_src, n, 517]-wide concat in HBM (the profiled
+    bottleneck). Because the projections are bias-free linears over a concat,
+    they decompose exactly:  W_k @ [node‖edge‖time] =
+    W_k_node@node + W_k_edge@edge + W_k_time@time.
+    Node/edge parts are then projected ONCE per step at the *table* level
+    ([N, D] and [E, D] are tiny vs the 10^5-10^6 gathered positions) and
+    gathered post-projection; only the Δt-dependent time part is projected
+    per position. Matmuls run in the configured compute dtype (bf16 by
+    default) with f32 accumulation.
+
+Semantics (identical in both forms):
+  * scores = q.k / sqrt(d_k); padded neighbors filled with -1e10 pre-softmax
   * dropout ON the attention probabilities
-  * optional ``explain_weight`` multiplies the probabilities **post-softmax**
-    ("if exp == 0 => masked", TGAT/TGAT.py:77) — the hook the TempME explainer
-    uses to knock out edges
+  * optional ``explain_weight`` multiplies probabilities POST-softmax
+    ("if exp == 0 => masked", TGAT/TGAT.py:77) — the TempME knob
   * output proj -> dropout -> LayerNorm(out + residual(q))
 """
 from __future__ import annotations
@@ -24,7 +36,24 @@ from flax import linen as nn
 xavier_normal = nn.initializers.xavier_normal()
 
 
+def _attend(qh, kh, vh, mask, explain_weight, drop_fn, deterministic,
+            b, nq, n, h, dk):
+    scores = jnp.einsum("bqhd,bqnhd->bqhn", qh, kh,
+                        preferred_element_type=jnp.float32)
+    scores = scores / np.sqrt(dk).astype(np.float32)
+    if mask is not None:
+        scores = jnp.where(mask.reshape(b, nq, 1, n), -1e10, scores)
+    attn = nn.softmax(scores, axis=-1)
+    attn = drop_fn(attn, deterministic=deterministic)
+    if explain_weight is not None:
+        attn = attn * explain_weight.reshape(b, nq, 1, n)
+    out = jnp.einsum("bqhn,bqnhd->bqhd", attn.astype(vh.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, nq, h * dk), attn
+
+
 class TemporalMultiHeadAttention(nn.Module):
+    """Reference-form concat-projection attention (parity baseline)."""
     n_head: int
     d_model: int          # query/residual/output dim
     d_key: int            # raw key/value input dim
@@ -37,38 +66,111 @@ class TemporalMultiHeadAttention(nn.Module):
                  explain_weight: Optional[jnp.ndarray] = None,
                  deterministic: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """q: [B, Nq, d_model]; k (=v): [B, Nngh, d_key];
-        mask: [B, Nngh] bool, True = padded; explain_weight: [B, Nngh].
-        Returns (output [B, Nq, d_model], attn [B, Nq, h, n])."""
         b, nq, _ = q.shape
-        nngh = k.shape[1]
-        n = nngh // nq
+        n = k.shape[1] // nq
         h, dk = self.n_head, self.d_k
-
         qkv_init = nn.initializers.normal(
             stddev=float(np.sqrt(2.0 / (self.d_model + dk))))
-        wq = nn.Dense(h * dk, use_bias=False, kernel_init=qkv_init, name="w_q")
-        wk = nn.Dense(h * dk, use_bias=False, kernel_init=qkv_init, name="w_k")
-        wv = nn.Dense(h * dk, use_bias=False, kernel_init=qkv_init, name="w_v")
-
-        qh = wq(q).reshape(b, nq, h, dk)
-        kh = wk(k).reshape(b, nq, n, h, dk)
-        vh = wv(k).reshape(b, nq, n, h, dk)
-
-        scores = jnp.einsum("bqhd,bqnhd->bqhn", qh, kh,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.float32(dk))
-        if mask is not None:
-            m = mask.reshape(b, nq, 1, n)
-            scores = jnp.where(m, -1e10, scores)
-        attn = nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        if explain_weight is not None:
-            attn = attn * explain_weight.reshape(b, nq, 1, n)
-        out = jnp.einsum("bqhn,bqnhd->bqhd", attn, vh,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(b, nq, h * dk)
+        qh = nn.Dense(h * dk, use_bias=False, kernel_init=qkv_init,
+                      name="w_q")(q).reshape(b, nq, h, dk)
+        kh = nn.Dense(h * dk, use_bias=False, kernel_init=qkv_init,
+                      name="w_k")(k).reshape(b, nq, n, h, dk)
+        vh = nn.Dense(h * dk, use_bias=False, kernel_init=qkv_init,
+                      name="w_v")(k).reshape(b, nq, n, h, dk)
+        out, attn = _attend(qh, kh, vh, mask, explain_weight,
+                            nn.Dropout(self.dropout), deterministic,
+                            b, nq, n, h, dk)
         out = nn.Dense(self.d_model, kernel_init=xavier_normal, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         out = nn.LayerNorm(name="ln")(out + q)
-        return out, attn
+        return out, attn.reshape(b, nq, h, n)
+
+
+class SplitTemporalAttention(nn.Module):
+    """TPU-optimized split-projection attention (see module docstring).
+
+    The caller supplies projected key/value parts:
+      * ``k_nv``/``v_nv``: node-part projections [B, Nngh, h*dk] — gathered
+        from ``project_node_table`` output for raw-feature levels, or computed
+        via ``project_node`` for embedding levels;
+      * ``k_ev``/``v_ev``: edge-part projections (``project_edge_table`` +
+        gather, or ``project_edge``) — may be None (TGAT's zero-edge query);
+      * ``ngh_time``: raw time encodings, projected here per position.
+    """
+    n_head: int
+    d_model: int          # residual/output dim (= raw q concat width)
+    d_k: int              # per-head dim
+    d_node: int
+    d_edge: int
+    d_time: int
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        h, dk = self.n_head, self.d_k
+        init = nn.initializers.normal(
+            stddev=float(np.sqrt(2.0 / (self.d_model + dk))))
+
+        def dense(name):
+            return nn.Dense(h * dk, use_bias=False, kernel_init=init,
+                            dtype=self.compute_dtype, name=name)
+
+        self.wq_node = dense("wq_node")
+        self.wq_time = dense("wq_time")
+        self.wk_node = dense("wk_node")
+        self.wk_edge = dense("wk_edge")
+        self.wk_time = dense("wk_time")
+        self.wv_node = dense("wv_node")
+        self.wv_edge = dense("wv_edge")
+        self.wv_time = dense("wv_time")
+        self.fc = nn.Dense(self.d_model, kernel_init=xavier_normal,
+                           dtype=self.compute_dtype, name="fc")
+        self.ln = nn.LayerNorm(name="ln")
+        self.drop = nn.Dropout(self.dropout)
+
+    # -- table / direct projections ------------------------------------
+    def project_node_table(self, table):
+        """[N, Dn] -> (k_table, v_table) each [N, h*dk]."""
+        t = table.astype(self.compute_dtype)
+        return self.wk_node(t), self.wv_node(t)
+
+    def project_edge_table(self, table):
+        t = table.astype(self.compute_dtype)
+        return self.wk_edge(t), self.wv_edge(t)
+
+    def project_node(self, x):
+        x = x.astype(self.compute_dtype)
+        return self.wk_node(x), self.wv_node(x)
+
+    def project_edge(self, x):
+        x = x.astype(self.compute_dtype)
+        return self.wk_edge(x), self.wv_edge(x)
+
+    def __call__(self, q_node, q_time, residual,
+                 k_nv, v_nv, k_ev, v_ev, ngh_time,
+                 mask=None, explain_weight=None, deterministic=True):
+        """q_node [B,Nq,Dn], q_time [B,Nq,Dt], residual [B,Nq,d_model];
+        k_nv/v_nv [B,Nngh,h*dk]; k_ev/v_ev same or None;
+        ngh_time [B,Nngh,Dt]."""
+        b, nq, _ = q_node.shape
+        n = k_nv.shape[1] // nq
+        h, dk = self.n_head, self.d_k
+
+        q = (self.wq_node(q_node.astype(self.compute_dtype))
+             + self.wq_time(q_time.astype(self.compute_dtype)))
+        tt = ngh_time.astype(self.compute_dtype)
+        k = k_nv + self.wk_time(tt)
+        v = v_nv + self.wv_time(tt)
+        if k_ev is not None:
+            k = k + k_ev
+            v = v + v_ev
+
+        qh = q.reshape(b, nq, h, dk)
+        kh = k.reshape(b, nq, n, h, dk)
+        vh = v.reshape(b, nq, n, h, dk)
+        out, attn = _attend(qh, kh, vh, mask, explain_weight, self.drop,
+                            deterministic, b, nq, n, h, dk)
+        out = self.fc(out.astype(self.compute_dtype))
+        out = self.drop(out, deterministic=deterministic)
+        out = self.ln(out.astype(jnp.float32) + residual)
+        return out, attn.reshape(b, nq, h, n)
