@@ -7,6 +7,9 @@
     python -m tempme_tpu.cli pipeline    --data uslegis_sampled --base_type tgn
     python -m tempme_tpu.cli sample-dataset --data enron --ratio 0.15
     python -m tempme_tpu.cli analyze     --data uslegis_sampled
+    python -m tempme_tpu.cli node-degrees --data uslegis_sampled
+    python -m tempme_tpu.cli visualize   --data uslegis_sampled --base_type tgn
+    python -m tempme_tpu.cli validate    --data uslegis_sampled
 """
 from __future__ import annotations
 
@@ -37,6 +40,15 @@ def main(argv=None):
     if cmd in ("sample-dataset", "analyze"):
         from .train.sample_tools import main as m
         return m([cmd] + rest)
+    if cmd == "node-degrees":
+        from .tools.node_degrees import main as m
+        return m(rest)
+    if cmd == "visualize":
+        from .tools.visualize import main as m
+        return m(rest)
+    if cmd == "validate":
+        from .tools.validate import main as m
+        return m(rest)
     print(f"unknown command {cmd!r}\n{__doc__}")
     return 1
 

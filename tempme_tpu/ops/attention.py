@@ -38,6 +38,12 @@ xavier_normal = nn.initializers.xavier_normal()
 
 def _attend(qh, kh, vh, mask, explain_weight, drop_fn, deterministic,
             b, nq, n, h, dk):
+    from .pallas import kernels as pk
+    if pk.enabled() and (deterministic or drop_fn.rate == 0.0):
+        # Fused Pallas path (no attention dropout to apply): one VMEM pass
+        # for score/mask/softmax/explain-weight/value-sum.
+        return pk.fused_attend(qh, kh, vh, mask, explain_weight,
+                               1.0 / np.sqrt(dk))
     scores = jnp.einsum("bqhd,bqnhd->bqhn", qh, kh,
                         preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(dk).astype(np.float32)

@@ -1,0 +1,209 @@
+"""Pallas TPU kernels for the framework's hot ops (SURVEY.md §7.1.8).
+
+Two fused kernels, each paired with the pure-jnp reference implementation that
+lives next door in ``ops/attention.py`` / ``ops/segment.py``:
+
+``fused_attend``
+    The 1-query x n-neighbor temporal attention core (reference math:
+    TGAT/TGAT.py:55-80, TGN/modules/embedding_module.py:7-87). Fuses
+    score (q.k/sqrt(dk)) -> mask fill -1e10 -> softmax -> post-softmax
+    explain-weight -> weighted value sum into ONE VMEM-resident pass, so the
+    [R, n] score/prob intermediates never round-trip HBM. This op is
+    bandwidth-bound (dk, n are small: 30-172), so killing the 4 intermediate
+    HBM round-trips of the unfused path is the win, not MXU occupancy.
+
+``walk_to_edge_max``
+    The walk->edge scatter-max + gather of the explainer
+    (torch_scatter reduce="max" then torch.gather, models/explainer.py:389-395),
+    fused so the [B, T, S] equality tensor lives only in VMEM, one batch row
+    per grid step.
+
+Both are exposed through ``jax.custom_vjp`` whose backward re-runs the jnp
+reference under ``jax.vjp`` — gradients are bitwise-identical to the jnp path
+(rematerialization: forward saves only the primal inputs, trading FLOPs for
+HBM exactly like jax.checkpoint).
+
+Dispatch: ``enabled()`` — on by default on a TPU backend, overridable with
+TEMPME_PALLAS=0/1. On CPU the kernels run in interpret mode (used by the
+test-suite for parity checks); production CPU paths keep the jnp ops.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_TILE = 8  # float32 sublane tile
+
+
+def enabled() -> bool:
+    env = os.environ.get("TEMPME_PALLAS", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    # Mosaic only targets TPU; everywhere else run the interpreter.
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Fused 1 x n temporal attention
+# ---------------------------------------------------------------------------
+
+def _attend_kernel(q_ref, k_ref, v_ref, m_ref, w_ref, out_ref, attn_ref,
+                   *, scale: float):
+    q = q_ref[:].astype(jnp.float32)            # [TR, dk]
+    k = k_ref[:].astype(jnp.float32)            # [TR, n, dk]
+    scores = jnp.sum(q[:, None, :] * k, axis=-1) * scale       # [TR, n]
+    scores = jnp.where(m_ref[:] > 0, -1e10, scores)
+    mx = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - mx)
+    attn = p / jnp.sum(p, axis=-1, keepdims=True)
+    attn = attn * w_ref[:]
+    attn_ref[:] = attn
+    v = v_ref[:].astype(jnp.float32)            # [TR, n, dk]
+    out_ref[:] = jnp.sum(attn[:, :, None] * v, axis=1)
+
+
+def _attend_pallas(q, k, v, mask_f, ew, scale):
+    """q [R,dk], k/v [R,n,dk], mask_f/ew [R,n] -> (out [R,dk], attn [R,n])."""
+    r, n, dk = k.shape
+    rp = -(-r // _ROW_TILE) * _ROW_TILE
+    pad = rp - r
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+        mask_f = jnp.pad(mask_f, ((0, pad), (0, 0)))
+        ew = jnp.pad(ew, ((0, pad), (0, 0)))
+
+    grid = (rp // _ROW_TILE,)
+    row2 = pl.BlockSpec((_ROW_TILE, n), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    rowd = pl.BlockSpec((_ROW_TILE, dk), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    row3 = pl.BlockSpec((_ROW_TILE, n, dk), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out, attn = pl.pallas_call(
+        functools.partial(_attend_kernel, scale=float(scale)),
+        grid=grid,
+        in_specs=[rowd, row3, row3, row2, row2],
+        out_specs=[rowd, row2],
+        out_shape=[jax.ShapeDtypeStruct((rp, dk), jnp.float32),
+                   jax.ShapeDtypeStruct((rp, n), jnp.float32)],
+        interpret=_interpret(),
+    )(q, k, v, mask_f, ew)
+    return out[:r], attn[:r]
+
+
+def _attend_jnp(q, k, v, mask_f, ew, scale):
+    scores = jnp.einsum("rd,rnd->rn", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * scale
+    scores = jnp.where(mask_f > 0, -1e10, scores)
+    attn = jax.nn.softmax(scores, axis=-1) * ew
+    out = jnp.einsum("rn,rnd->rd", attn, v.astype(jnp.float32))
+    return out, attn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _attend_core(q2, k2, v2, m2, w2, scale):
+    return _attend_pallas(q2, k2, v2, m2, w2, scale)
+
+
+def _attend_core_fwd(q2, k2, v2, m2, w2, scale):
+    return _attend_pallas(q2, k2, v2, m2, w2, scale), (q2, k2, v2, m2, w2)
+
+
+def _attend_core_bwd(scale, res, ct):
+    _, vjp = jax.vjp(lambda *a: _attend_jnp(*a, scale), *res)
+    return vjp(ct)
+
+
+_attend_core.defvjp(_attend_core_fwd, _attend_core_bwd)
+
+
+def fused_attend(qh, kh, vh, mask, explain_weight, scale):
+    """Fused attention core on flattened rows.
+
+    qh [b,nq,h,dk], kh/vh [b,nq,n,h,dk], mask [b,nq,1,n] bool or None,
+    explain_weight [b,nq,1,n] or None -> (out [b,nq,h*dk] f32,
+    attn [b,nq,h,n] f32). Matches ops.attention._attend with dropout off.
+    """
+    b, nq, h, dk = qh.shape
+    n = kh.shape[2]
+    r = b * nq * h
+    q2 = qh.reshape(r, dk)
+    k2 = kh.transpose(0, 1, 3, 2, 4).reshape(r, n, dk)
+    v2 = vh.transpose(0, 1, 3, 2, 4).reshape(r, n, dk)
+    if mask is None:
+        m2 = jnp.zeros((r, n), jnp.float32)
+    else:
+        m2 = jnp.broadcast_to(mask.reshape(b, nq, 1, n),
+                              (b, nq, h, n)).reshape(r, n).astype(jnp.float32)
+    if explain_weight is None:
+        w2 = jnp.ones((r, n), jnp.float32)
+    else:
+        w2 = jnp.broadcast_to(
+            explain_weight.reshape(b, nq, 1, n).astype(jnp.float32),
+            (b, nq, h, n)).reshape(r, n)
+
+    out, attn = _attend_core(q2, k2, v2, m2, w2, float(scale))
+    return (out.reshape(b, nq, h, dk).reshape(b, nq, h * dk),
+            attn.reshape(b, nq, h, n))
+
+
+# ---------------------------------------------------------------------------
+# Fused walk -> edge scatter-max + gather
+# ---------------------------------------------------------------------------
+
+def _w2e_kernel(ids_ref, imp_ref, tgt_ref, out_ref):
+    eq = tgt_ref[0, :][:, None] == ids_ref[0, :][None, :]       # [T, S]
+    sc = jnp.where(eq, imp_ref[0, :][None, :], 0.0)
+    out_ref[0, :] = jnp.max(sc, axis=-1)
+
+
+def _w2e_pallas(walk_edge_ids, walk_imp, target_edge_ids):
+    b, s = walk_edge_ids.shape
+    t = target_edge_ids.shape[1]
+    rows = lambda w: pl.BlockSpec((1, w), lambda i: (i, 0),
+                                  memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _w2e_kernel,
+        grid=(b,),
+        in_specs=[rows(s), rows(s), rows(t)],
+        out_specs=rows(t),
+        out_shape=jax.ShapeDtypeStruct((b, t), jnp.float32),
+        interpret=_interpret(),
+    )(walk_edge_ids, walk_imp.astype(jnp.float32), target_edge_ids)
+
+
+@jax.custom_vjp
+def walk_to_edge_max(walk_edge_ids, walk_imp, target_edge_ids):
+    """Pallas form of ops.segment.walk_to_edge_max (same signature/semantics)."""
+    return _w2e_pallas(walk_edge_ids, walk_imp, target_edge_ids)
+
+
+def _w2e_fwd(walk_edge_ids, walk_imp, target_edge_ids):
+    out = _w2e_pallas(walk_edge_ids, walk_imp, target_edge_ids)
+    return out, (walk_edge_ids, walk_imp, target_edge_ids)
+
+
+def _w2e_bwd(res, ct):
+    from ..segment import walk_to_edge_max_jnp
+    ids, imp, tgt = res
+    _, vjp = jax.vjp(lambda w: walk_to_edge_max_jnp(ids, w, tgt), imp)
+    (g_imp,) = vjp(ct)
+    f0 = jax.dtypes.float0
+    return (np.zeros(ids.shape, f0), g_imp, np.zeros(tgt.shape, f0))
+
+
+walk_to_edge_max.defvjp(_w2e_fwd, _w2e_bwd)

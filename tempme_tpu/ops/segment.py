@@ -11,8 +11,8 @@ import jax
 import jax.numpy as jnp
 
 
-def walk_to_edge_max(walk_edge_ids: jnp.ndarray, walk_imp: jnp.ndarray,
-                     target_edge_ids: jnp.ndarray) -> jnp.ndarray:
+def walk_to_edge_max_jnp(walk_edge_ids: jnp.ndarray, walk_imp: jnp.ndarray,
+                         target_edge_ids: jnp.ndarray) -> jnp.ndarray:
     """For each target edge id, the max importance over walk slots carrying it.
 
     walk_edge_ids: [B, S] int32 (S = n_walks * 3 event slots)
@@ -25,6 +25,15 @@ def walk_to_edge_max(walk_edge_ids: jnp.ndarray, walk_imp: jnp.ndarray,
     eq = target_edge_ids[:, :, None] == walk_edge_ids[:, None, :]   # [B,T,S]
     scores = jnp.where(eq, walk_imp[:, None, :], 0.0)
     return jnp.max(scores, axis=-1)
+
+
+def walk_to_edge_max(walk_edge_ids: jnp.ndarray, walk_imp: jnp.ndarray,
+                     target_edge_ids: jnp.ndarray) -> jnp.ndarray:
+    """Dispatching form: fused Pallas kernel on TPU, jnp elsewhere."""
+    from .pallas import kernels as pk
+    if pk.enabled():
+        return pk.walk_to_edge_max(walk_edge_ids, walk_imp, target_edge_ids)
+    return walk_to_edge_max_jnp(walk_edge_ids, walk_imp, target_edge_ids)
 
 
 def class_mean(prob: jnp.ndarray, cat: jnp.ndarray, num_classes: int = 12
