@@ -37,3 +37,47 @@ class TimeEncode(nn.Module):
             w = jnp.asarray(w_init)
             b = jnp.zeros((self.dim,), jnp.float32)
         return jnp.cos(ts[..., None] * w + b)
+
+
+class PosEncode(nn.Module):
+    """Order-based positional encoding (reference ``PosEncode``,
+    TGAT/TGAT.py:244-255): embeds the *rank* of each neighbor in the
+    time-sorted support rather than its timestamp. The reference maps each
+    position through an ``nn.Embedding(seq_len, dim)``; here positions are
+    derived from the trailing axis length, so input [..., L] -> [..., L, dim].
+    """
+    dim: int
+    seq_len: int
+
+    @nn.compact
+    def __call__(self, ts: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "pos_table", nn.initializers.normal(stddev=0.02),
+            (self.seq_len, self.dim))
+        length = ts.shape[-1]
+        order = jnp.arange(length) % self.seq_len
+        emb = table[order]                          # [L, dim]
+        return jnp.broadcast_to(emb, ts.shape + (self.dim,))
+
+
+class EmptyEncode(nn.Module):
+    """Zero time encoding (reference ``EmptyEncode``, TGAT/TGAT.py:258-266):
+    ablates temporal information entirely."""
+    dim: int
+
+    @nn.compact
+    def __call__(self, ts: jnp.ndarray) -> jnp.ndarray:
+        return jnp.zeros(ts.shape + (self.dim,), jnp.float32)
+
+
+def make_time_encoder(method: str, dim: int, seq_len: int = 64,
+                      trainable: bool = True, name: str = "time_encoder"):
+    """Factory over the reference's ``use_time`` flag values
+    ('time' | 'pos' | 'empty', TGAT/TGAT.py:435-445)."""
+    if method == "time":
+        return TimeEncode(dim=dim, trainable=trainable, name=name)
+    if method == "pos":
+        return PosEncode(dim=dim, seq_len=seq_len, name=name)
+    if method == "empty":
+        return EmptyEncode(dim=dim, name=name)
+    raise ValueError(f"unknown time encoding method: {method!r}")
