@@ -165,25 +165,45 @@ def fused_attend(qh, kh, vh, mask, explain_weight, scale):
 # Fused walk -> edge scatter-max + gather
 # ---------------------------------------------------------------------------
 
+_T_TILE = 128  # lane tile for the target-edge axis
+
+
 def _w2e_kernel(ids_ref, imp_ref, tgt_ref, out_ref):
-    eq = tgt_ref[0, :][:, None] == ids_ref[0, :][None, :]       # [T, S]
-    sc = jnp.where(eq, imp_ref[0, :][None, :], 0.0)
-    out_ref[0, :] = jnp.max(sc, axis=-1)
+    # blocks: ids/imp [TR, S] (full walk axis), tgt/out [TR, TC].
+    # eq lives only in VMEM: [TR, TC, S] ~ 8*128*S floats per grid step.
+    ids = ids_ref[:, :]
+    imp = imp_ref[:, :]
+    tgt = tgt_ref[:, :]
+    eq = tgt[:, :, None] == ids[:, None, :]                     # [TR, TC, S]
+    sc = jnp.where(eq, imp[:, None, :], 0.0)
+    out_ref[:, :] = jnp.max(sc, axis=-1)
 
 
 def _w2e_pallas(walk_edge_ids, walk_imp, target_edge_ids):
     b, s = walk_edge_ids.shape
     t = target_edge_ids.shape[1]
-    rows = lambda w: pl.BlockSpec((1, w), lambda i: (i, 0),
-                                  memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    bp = -(-b // _ROW_TILE) * _ROW_TILE
+    tp = -(-t // _T_TILE) * _T_TILE
+    ids = jnp.pad(walk_edge_ids, ((0, bp - b), (0, 0)),
+                  constant_values=-1)
+    imp = jnp.pad(walk_imp.astype(jnp.float32), ((0, bp - b), (0, 0)))
+    # pad targets with -2 so padding never matches a walk slot (-1/0 incl.)
+    tgt = jnp.pad(target_edge_ids, ((0, bp - b), (0, tp - t)),
+                  constant_values=-2)
+    grid = (bp // _ROW_TILE, tp // _T_TILE)
+    walk_spec = pl.BlockSpec((_ROW_TILE, s), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM)
+    tgt_spec = pl.BlockSpec((_ROW_TILE, _T_TILE), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
         _w2e_kernel,
-        grid=(b,),
-        in_specs=[rows(s), rows(s), rows(t)],
-        out_specs=rows(t),
-        out_shape=jax.ShapeDtypeStruct((b, t), jnp.float32),
+        grid=grid,
+        in_specs=[walk_spec, walk_spec, tgt_spec],
+        out_specs=tgt_spec,
+        out_shape=jax.ShapeDtypeStruct((bp, tp), jnp.float32),
         interpret=_interpret(),
-    )(walk_edge_ids, walk_imp.astype(jnp.float32), target_edge_ids)
+    )(ids, imp, tgt)
+    return out[:b, :t]
 
 
 @jax.custom_vjp

@@ -183,7 +183,6 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt_dir", type=str, default="params")
     args = p.parse_args(argv)
-    n_degree = DEGREE_DICT.get(args.data, 20)
     ratios = DEFAULT_RATIOS
 
     ds = load_dataset(args.data, args.data_dir)
@@ -193,6 +192,9 @@ def main(argv=None):
 
     base = load_base(osp.join(args.ckpt_dir, "tgnn",
                               f"{args.base_type}_{args.data}.msgpack"), feats)
+    # support width must match the base checkpoint (GraphMixer's token-mix
+    # Dense is sized by n_degree), not the dataset default (VERDICT r1 weak#1)
+    n_degree = int(base.meta.get("n_degree", DEGREE_DICT.get(args.data, 20)))
     contrast = make_base_contrast(base, feats)
 
     print("estimating null motif distribution (shuffled graph)...")
