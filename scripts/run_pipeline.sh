@@ -1,0 +1,30 @@
+#!/bin/bash
+# Full quality pipeline on the real TPU chip: base eval + explainer training
+# for all three bases + enhance for tgn/graphmixer. Each step logs to
+# logs/<step>.log and failures do not stop later steps.
+cd /root/repo
+mkdir -p results logs
+
+run() {
+  name="$1"; shift
+  echo "=== $name: $* ==="
+  start=$(date +%s)
+  "$@" > "logs/$name.log" 2>&1
+  rc=$?
+  echo "=== $name done rc=$rc ($(($(date +%s) - start))s) ==="
+}
+
+# retrain bases (r1 checkpoints predate the current attention-module layout)
+run base_tgat        python -m tempme_tpu.train.learn_base --base_type tgat --n_epoch 30 --n_layer 2
+run base_tgn         python -m tempme_tpu.train.learn_base --base_type tgn --n_epoch 30
+run base_graphmixer  python -m tempme_tpu.train.learn_base --base_type graphmixer --n_epoch 30
+
+run explainer_tgn         python -m tempme_tpu.train.temp_exp_main --base_type tgn --n_epoch 10
+run explainer_tgat        python -m tempme_tpu.train.temp_exp_main --base_type tgat --n_epoch 10
+run explainer_graphmixer  python -m tempme_tpu.train.temp_exp_main --base_type graphmixer --n_epoch 10
+
+run enhance_tgn           python -m tempme_tpu.train.enhance_main --base_type tgn --n_epoch 10
+run enhance_graphmixer    python -m tempme_tpu.train.enhance_main --base_type graphmixer --n_epoch 10
+
+echo "=== pipeline complete ==="
+ls -la results/

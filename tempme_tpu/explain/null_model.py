@@ -66,3 +66,21 @@ def estimate_null_distribution(events: EventStream,
     if total == 0:
         return np.full(12, 1.0 / 12, np.float32)
     return (counts / total).astype(np.float32)
+
+
+def get_null_distribution(data_name: str, events: EventStream, n_degree: int,
+                          node_feat: np.ndarray, edge_feat: np.ndarray,
+                          cache_dir: str = "params", seed: int = 0
+                          ) -> np.ndarray:
+    """Cached entry point (reference utils/null_model.py:124): the null prior
+    is a dataset-level constant, so estimate once and reuse across drivers."""
+    import os
+    import os.path as osp
+    path = osp.join(cache_dir, f"null_{data_name}_n{n_degree}_s{seed}.npy")
+    if osp.exists(path):
+        return np.load(path).astype(np.float32)
+    dist = estimate_null_distribution(events, n_degree, node_feat, edge_feat,
+                                      seed=seed)
+    os.makedirs(cache_dir, exist_ok=True)
+    np.save(path, dist)
+    return dist

@@ -120,14 +120,15 @@ def visualize_explanations(data: str, base_type: str, data_dir: str,
     from ..utils.checkpoint import load_checkpoint
 
     ds = load_dataset(data, data_dir)
-    n_degree = DEGREE_DICT.get(data, 20)
     g = build_temporal_graph(ds.full, ds.full.num_nodes, ds.full.num_edges)
     feats = Features(node=jnp.asarray(ds.node_feat),
                      edge=jnp.asarray(ds.edge_feat))
     base = load_base(osp.join(ckpt_dir, "tgnn",
                               f"{base_type}_{data}.msgpack"), feats)
+    n_degree = int(base.meta.get("n_degree", DEGREE_DICT.get(data, 20)))
 
-    exp_ckpt = osp.join(ckpt_dir, "explainer", f"{base_type}_{data}.msgpack")
+    # checkpoint layout written by temp_exp_main: explainer/{base}/{data}
+    exp_ckpt = osp.join(ckpt_dir, "explainer", base_type, f"{data}.msgpack")
     from ..utils.checkpoint import load_meta
     meta = load_meta(exp_ckpt)
     if base_type == "tgat":
@@ -139,7 +140,6 @@ def visualize_explanations(data: str, base_type: str, data_dir: str,
         explainer = Cls(node_dim=meta["node_dim"], edge_dim=meta["edge_dim"],
                         out_dim=meta["out_dim"], hid_dim=meta["hid_dim"],
                         base_type=base_type)
-    exp_params, _ = load_checkpoint(exp_ckpt, None)
 
     sampler = RandEdgeSampler([ds.test.src], [ds.test.dst], seed=seed)
     dst_table = jnp.asarray(sampler.dst_list)
@@ -148,6 +148,15 @@ def visualize_explanations(data: str, base_type: str, data_dir: str,
                                     seed=seed, drop_remainder=True))
     _, subs, walks = sample_explainer_inputs(g, key, batch, dst_table,
                                              n_degree)
+    # init a parameter template of the right structure, then restore into it
+    if base_type == "tgat":
+        template = explainer.init({"params": key}, feats, walks[0], batch.src,
+                                  batch.ts, batch.dst, subs[0],
+                                  method=Cls.init_all)
+    else:
+        template = explainer.init({"params": key}, feats, walks[0], batch.ts,
+                                  subs[0], method=Cls.init_all)
+    exp_params, _ = load_checkpoint(exp_ckpt, template)
     sub_src, walks_src = subs[0], walks[0]
     if base_type == "tgat":
         imp = explainer.apply(exp_params, feats, walks_src, batch.src,

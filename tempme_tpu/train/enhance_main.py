@@ -24,8 +24,10 @@ from ..data.events import load_dataset, RandEdgeSampler
 from ..data.graph import build_temporal_graph
 from ..explain.tempme import TempME
 from ..models.common import Features
+from ..tools.node_degrees import compute_node_degrees
 from ..utils import metrics as M
 from ..utils.checkpoint import save_params
+from ..utils.logging import MetricsLogger
 from . import loops
 from .base_loader import load_base
 from .temp_exp_main import sample_explainer_inputs
@@ -46,6 +48,8 @@ def main(argv=None):
     p.add_argument("--drop_out", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt_dir", type=str, default="params")
+    p.add_argument("--log_dir", type=str, default="tb_logs")
+    p.add_argument("--results_dir", type=str, default="results")
     args = p.parse_args(argv)
     if args.base_type == "tgat":
         raise NotImplementedError(
@@ -72,6 +76,9 @@ def main(argv=None):
                                    [ds.train.dst, ds.val.dst, ds.test.dst])
     dst_train = jnp.asarray(train_sampler.dst_list)
     dst_test = jnp.asarray(test_sampler.dst_list)
+    # per-node degree table for soft walk-importance weighting
+    # (reference compute_node_degrees.py:80-120 patches explainer.node_degree)
+    node_degree = jnp.asarray(compute_node_degrees(ds.full))
 
     key = jax.random.PRNGKey(args.seed)
     b0 = next(loops.iter_batches(ds.train, args.bs, True, 0, True))
@@ -114,8 +121,8 @@ def main(argv=None):
                                            k_drop1, train=True)
             pos, neg = predictor.apply(
                 ps["predictor"], feats, batch.ts, walks[0], walks[1],
-                walks[2], s, t, b, deterministic=False,
-                rngs={"dropout": k_drop2},
+                walks[2], s, t, b, node_degree=node_degree,
+                deterministic=False, rngs={"dropout": k_drop2},
                 method=TempME.enhance_predict_agg)
             loss = (optax.sigmoid_binary_cross_entropy(
                         pos, jnp.ones_like(pos)).mean()
@@ -139,13 +146,17 @@ def main(argv=None):
                                        None, train=False)
         pos, neg = predictor.apply(
             params["predictor"], feats, batch.ts, walks[0], walks[1],
-            walks[2], s, t, b, deterministic=True,
+            walks[2], s, t, b, node_degree=node_degree, deterministic=True,
             method=TempME.enhance_predict_agg)
         return pos.squeeze(-1), neg.squeeze(-1), new_mem
 
-    best_ap = 0.0
+    best_ap, best_auc = 0.0, 0.0
     ckpt = osp.join(args.ckpt_dir, "enhance", args.base_type,
                     f"{args.data}.msgpack")
+    logger = MetricsLogger(
+        args.log_dir,
+        run_name=time.strftime(
+            f"{args.base_type}_{args.data}_%Y%m%d_%H%M%S_enhance"))
     mem = mem0
     for epoch in range(args.n_epoch):
         t0 = time.time()
@@ -168,12 +179,14 @@ def main(argv=None):
         scores, labels = [], []
         ekey = jax.random.PRNGKey(999)
         for batch in loops.iter_batches(ds.test, args.bs, shuffle=False,
-                                        seed=0, drop_remainder=True):
+                                        seed=0, drop_remainder=False):
             ekey, sub = jax.random.split(ekey)
             pos, neg, mem = eval_step(all_params, mem, sub, batch)
-            scores.append(np.r_[jax.nn.sigmoid(np.asarray(pos)),
-                                jax.nn.sigmoid(np.asarray(neg))])
-            labels.append(np.r_[np.ones(len(pos)), np.zeros(len(neg))])
+            m = np.asarray(batch.mask)
+            scores.append(np.r_[jax.nn.sigmoid(np.asarray(pos))[m],
+                                jax.nn.sigmoid(np.asarray(neg))[m]])
+            labels.append(np.r_[np.ones(int(m.sum())),
+                                np.zeros(int(m.sum()))])
         mem = mem_backup
         s, l = np.concatenate(scores), np.concatenate(labels)
         test_ap = M.average_precision_score(l, s)
@@ -181,13 +194,26 @@ def main(argv=None):
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
               f"train_ap={np.mean(aps):.4f} test_ap={test_ap:.4f} "
               f"test_auc={test_auc:.4f} ({n_ev / dt:,.0f} events/s)")
+        logger.add_scalars("Train", {"loss": float(np.mean(losses)),
+                                     "ap": float(np.mean(aps))}, epoch)
+        logger.add_scalars("Test", {"ap": test_ap, "auc": test_auc}, epoch)
+        logger.flush()
         if test_ap > best_ap:
-            best_ap = test_ap
+            best_ap, best_auc = test_ap, test_auc
             save_params(ckpt, all_params,
                         meta=dict(base_type=args.base_type, data=args.data,
                                   out_dim=args.out_dim, hid_dim=args.hid_dim))
             print(f"  saved best enhance checkpoint -> {ckpt} "
                   f"(ap={best_ap:.4f})")
+    logger.close()
+    import json
+    os.makedirs(args.results_dir, exist_ok=True)
+    out = osp.join(args.results_dir,
+                   f"enhance_{args.base_type}_{args.data}.json")
+    with open(out, "w") as f:
+        json.dump(dict(base_type=args.base_type, data=args.data,
+                       ap=best_ap, auc=best_auc), f, indent=1)
+    print(f"results -> {out}")
     return best_ap
 
 

@@ -26,7 +26,50 @@ from ..data.graph import build_temporal_graph
 from ..models.common import Features
 from ..utils import metrics as M
 from ..utils.checkpoint import save_params
+from ..utils.logging import MetricsLogger
 from . import loops
+
+
+def write_results(results_dir: str, name: str, payload: dict) -> str:
+    import json
+    os.makedirs(results_dir, exist_ok=True)
+    out = osp.join(results_dir, name + ".json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"results -> {out}")
+    return out
+
+
+def eval_checkpoint(args):
+    """Evaluate a saved base checkpoint on the test split (AP/AUC/ACC with the
+    full-graph sampler — the reference protocol, learn_base.py:43-73)."""
+    from .base_loader import load_base
+    ds = load_dataset(args.data, args.data_dir)
+    g_full = build_temporal_graph(ds.full, ds.full.num_nodes,
+                                  ds.full.num_edges)
+    feats = Features(node=jnp.asarray(ds.node_feat),
+                     edge=jnp.asarray(ds.edge_feat))
+    base = load_base(osp.join(args.out_dir,
+                              f"{args.base_type}_{args.data}.msgpack"), feats)
+    n = int(base.meta["n_degree"])
+    test_sampler = RandEdgeSampler([ds.train.src, ds.val.src, ds.test.src],
+                                   [ds.train.dst, ds.val.dst, ds.test.dst])
+    dst = jnp.asarray(test_sampler.dst_list)
+    if base.base_type == "tgn":
+        from .learn_tgn import evaluate_tgn, make_tgn_eval_step
+        eval_step = make_tgn_eval_step(base.model, g_full, feats, dst, n)
+        test = evaluate_tgn(eval_step, base.params, base.memory, ds.test,
+                            args.bs)
+    else:
+        k = int(base.meta["n_layer"]) if base.base_type == "tgat" else 2
+        eval_step = loops.make_base_eval_step(base.model, g_full, feats, dst,
+                                              k, n)
+        test = evaluate(eval_step, base.params, ds.test, args.bs)
+    print(f"[eval {args.base_type}/{args.data}] ap={test['ap']:.4f} "
+          f"auc={test['auc']:.4f} acc={test['acc']:.4f}")
+    write_results(args.results_dir, f"base_{args.base_type}_{args.data}",
+                  dict(base_type=args.base_type, data=args.data, **test))
+    return test
 
 
 def build_model(base_type: str, node_dim: int, edge_dim: int, args):
@@ -79,9 +122,15 @@ def main(argv=None):
     p.add_argument("--drop_out", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out_dir", type=str, default="params/tgnn")
+    p.add_argument("--log_dir", type=str, default="tb_logs")
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--eval_only", action="store_true",
+                   help="evaluate the saved checkpoint on the test split")
     args = p.parse_args(argv)
     if args.n_degree == 0:
         args.n_degree = DEGREE_DICT.get(args.data, 20)
+    if args.eval_only:
+        return eval_checkpoint(args)
     if args.base_type == "tgn":
         from .learn_tgn import main as tgn_main
         return tgn_main(args)
@@ -120,9 +169,12 @@ def main(argv=None):
         k, args.n_degree)
 
     stopper = M.EarlyStopMonitor(max_round=5)
-    best_ap = 0.0
+    best = None
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_path = osp.join(args.out_dir, f"{args.base_type}_{args.data}.msgpack")
+    logger = MetricsLogger(
+        args.log_dir,
+        run_name=time.strftime(f"{args.base_type}_{args.data}_%Y%m%d_%H%M%S"))
     epoch_fn = loops.make_base_train_epoch(train_step)
     for epoch in range(args.n_epoch):
         t0 = time.time()
@@ -131,13 +183,13 @@ def main(argv=None):
         state, auxs = epoch_fn(state, batches)
         jax.block_until_ready(auxs["loss"])
         dt = time.time() - t0
-        k = batches.src.shape[0]
-        n_events = k * args.bs
+        n_batches = batches.src.shape[0]
+        n_events = n_batches * args.bs
         losses = np.asarray(auxs["loss"])
         pos = 1 / (1 + np.exp(-np.asarray(auxs["pos"])))   # [K, B]
         neg = 1 / (1 + np.exp(-np.asarray(auxs["neg"])))
         aps, aucs = [], []
-        for i in range(k):
+        for i in range(n_batches):
             s = np.r_[pos[i], neg[i]]
             l = np.r_[np.ones(args.bs), np.zeros(args.bs)]
             aps.append(M.average_precision_score(l, s))
@@ -147,19 +199,30 @@ def main(argv=None):
               f"train_ap={np.mean(aps):.4f} train_auc={np.mean(aucs):.4f} "
               f"test_ap={test['ap']:.4f} test_auc={test['auc']:.4f} "
               f"({n_events / dt:,.0f} events/s)")
-        if test["ap"] > best_ap:
-            best_ap = test["ap"]
+        logger.add_scalars("Train", {"loss": float(np.mean(losses)),
+                                     "ap": float(np.mean(aps)),
+                                     "auc": float(np.mean(aucs)),
+                                     "events_per_s": n_events / dt}, epoch)
+        logger.add_scalars("Test", test, epoch)
+        logger.flush()
+        if best is None or test["ap"] > best["ap"]:
+            best = test
             save_params(ckpt_path, state.params,
                         meta=dict(base_type=args.base_type, data=args.data,
                                   n_degree=args.n_degree, n_layer=k,
                                   n_head=args.n_head, drop_out=args.drop_out,
                                   node_dim=ds.node_feat.shape[1],
                                   edge_dim=ds.edge_feat.shape[1]))
-            print(f"  saved best checkpoint -> {ckpt_path} (ap={best_ap:.4f})")
+            print(f"  saved best checkpoint -> {ckpt_path} "
+                  f"(ap={best['ap']:.4f})")
         if stopper.early_stop_check(test["ap"]):
             print(f"early stop at epoch {epoch}")
             break
-    return best_ap
+    logger.close()
+    if best is not None:
+        write_results(args.results_dir, f"base_{args.base_type}_{args.data}",
+                      dict(base_type=args.base_type, data=args.data, **best))
+    return 0.0 if best is None else best["ap"]
 
 
 if __name__ == "__main__":

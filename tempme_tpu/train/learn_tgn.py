@@ -123,9 +123,13 @@ def main(args):
                                    args.n_degree)
 
     stopper = M.EarlyStopMonitor(max_round=5)
-    best_ap = 0.0
+    best = None
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_path = osp.join(args.out_dir, f"tgn_{args.data}.msgpack")
+    from ..utils.logging import MetricsLogger
+    logger = MetricsLogger(
+        args.log_dir,
+        run_name=time.strftime(f"tgn_{args.data}_%Y%m%d_%H%M%S"))
     epoch_fn = loops.make_tgn_train_epoch(train_step)
     for epoch in range(args.n_epoch):
         t0 = time.time()
@@ -150,8 +154,13 @@ def main(args):
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
               f"train_ap={np.mean(aps):.4f} test_ap={test['ap']:.4f} "
               f"test_auc={test['auc']:.4f} ({n_events / dt:,.0f} events/s)")
-        if test["ap"] > best_ap:
-            best_ap = test["ap"]
+        logger.add_scalars("Train", {"loss": float(np.mean(losses)),
+                                     "ap": float(np.mean(aps)),
+                                     "events_per_s": n_events / dt}, epoch)
+        logger.add_scalars("Test", test, epoch)
+        logger.flush()
+        if best is None or test["ap"] > best["ap"]:
+            best = test
             # checkpoint carries the train-side memory state (the reference's
             # pickled module embeds its Memory parameter the same way,
             # learn_base.py:276)
@@ -163,8 +172,14 @@ def main(args):
                                   node_dim=ds.node_feat.shape[1],
                                   edge_dim=ds.edge_feat.shape[1],
                                   num_nodes=ds.full.num_nodes))
-            print(f"  saved best checkpoint -> {ckpt_path} (ap={best_ap:.4f})")
+            print(f"  saved best checkpoint -> {ckpt_path} "
+                  f"(ap={best['ap']:.4f})")
         if stopper.early_stop_check(test["ap"]):
             print(f"early stop at epoch {epoch}")
             break
-    return best_ap
+    logger.close()
+    if best is not None:
+        from .learn_base import write_results
+        write_results(args.results_dir, f"base_tgn_{args.data}",
+                      dict(base_type="tgn", data=args.data, **best))
+    return 0.0 if best is None else best["ap"]

@@ -29,13 +29,15 @@ import optax
 from ..config import DEGREE_DICT, DEFAULT_RATIOS
 from ..data.events import load_dataset, RandEdgeSampler
 from ..data.graph import build_temporal_graph
-from ..explain.null_model import estimate_null_distribution
+from ..explain.null_model import get_null_distribution
 from ..explain.tempme import (TempME, WalkInputs, kl_sparsity_loss,
                               make_walk_inputs)
 from ..models.common import Features
 from ..ops import sampler as S
 from ..utils import metrics as M
-from ..utils.checkpoint import save_params
+from ..utils import profiling
+from ..utils.checkpoint import load_params, save_params
+from ..utils.logging import MetricsLogger
 from . import loops
 from .base_loader import LoadedBase, load_base
 
@@ -182,6 +184,13 @@ def main(argv=None):
     p.add_argument("--test_threshold", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt_dir", type=str, default="params")
+    p.add_argument("--log_dir", type=str, default="tb_logs")
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--eval_only", action="store_true",
+                   help="load the saved explainer checkpoint and run the full "
+                        "eval protocol once (no training)")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of one train epoch")
     args = p.parse_args(argv)
     ratios = DEFAULT_RATIOS
 
@@ -198,8 +207,9 @@ def main(argv=None):
     contrast = make_base_contrast(base, feats)
 
     print("estimating null motif distribution (shuffled graph)...")
-    null_dist = jnp.asarray(estimate_null_distribution(
-        ds.full, n_degree, ds.node_feat, ds.edge_feat, seed=args.seed))
+    null_dist = jnp.asarray(get_null_distribution(
+        args.data, ds.full, n_degree, ds.node_feat, ds.edge_feat,
+        cache_dir=args.ckpt_dir, seed=args.seed))
     print("null distribution:", np.round(np.asarray(null_dist), 4))
 
     is_tgat = args.base_type == "tgat"
@@ -348,26 +358,28 @@ def main(argv=None):
                                  "r_logit"]}
         key = jax.random.PRNGKey(1234)
         for batch in loops.iter_batches(ds.test, args.test_bs, shuffle=False,
-                                        seed=0, drop_remainder=True):
+                                        seed=0, drop_remainder=False):
             key, sub = jax.random.split(key)
             out = eval_step(exp_params, sub, batch)
-            y_ori = np.asarray(out["y_ori"]).ravel()
-            y_pred = jax.nn.sigmoid(np.asarray(out["pred"])).ravel()
+            m = np.asarray(batch.mask)
+            m2 = np.r_[m, m]
+            y_ori = np.asarray(out["y_ori"]).ravel()[m2]
+            y_pred = jax.nn.sigmoid(np.asarray(out["pred"])).ravel()[m2]
             stats["aps"].append(M.average_precision_score(y_ori, y_pred))
             stats["auc"].append(M.roc_auc_score(y_ori, y_pred))
             stats["acc"].append(M.accuracy_score(y_ori, y_pred))
-            pos_ori = np.asarray(out["pos_ori"]).ravel()
-            neg_ori = np.asarray(out["neg_ori"]).ravel()
-            pos = np.asarray(out["pos"]).ravel()
-            neg = np.asarray(out["neg"]).ravel()
+            pos_ori = np.asarray(out["pos_ori"]).ravel()[m]
+            neg_ori = np.asarray(out["neg_ori"]).ravel()[m]
+            pos = np.asarray(out["pos"]).ravel()[m]
+            neg = np.asarray(out["neg"]).ravel()[m]
             sig = lambda x: 1 / (1 + np.exp(-x))
             stats["fid_prob"].append(np.r_[sig(pos) - sig(pos_ori),
                                            sig(neg_ori) - sig(neg)].mean())
             stats["fid_logit"].append(np.r_[pos - pos_ori,
                                             neg_ori - neg].mean())
             if args.test_threshold:
-                pos_r = np.asarray(out["pos_r"])
-                neg_r = np.asarray(out["neg_r"])
+                pos_r = np.asarray(out["pos_r"])[:, m]
+                neg_r = np.asarray(out["neg_r"])[:, m]
                 r_aps, r_auc, r_acc, r_prob, r_logit = [], [], [], [], []
                 for ri in range(len(ratios)):
                     yp = sig(np.r_[pos_r[ri], neg_r[ri]])
@@ -392,13 +404,39 @@ def main(argv=None):
               f"logit={out['r_logit']:.4f}")
         return out
 
-    best = 0.0
     ckpt = osp.join(args.ckpt_dir, "explainer", args.base_type,
                     f"{args.data}.msgpack")
+
+    def write_results(ev, tag="explainer"):
+        os.makedirs(args.results_dir, exist_ok=True)
+        out = osp.join(args.results_dir,
+                       f"{tag}_{args.base_type}_{args.data}.json")
+        import json
+        with open(out, "w") as f:
+            json.dump(dict(base_type=args.base_type, data=args.data,
+                           n_degree=n_degree, **ev), f, indent=1)
+        print(f"results -> {out}")
+
+    if args.eval_only:
+        exp_params = load_params(ckpt, exp_params)
+        ev = run_eval(exp_params, -1)
+        write_results(ev)
+        return ev
+
+    logger = MetricsLogger(
+        args.log_dir,
+        run_name=time.strftime(
+            f"{args.base_type}_{args.data}_%Y%m%d_%H%M%S_explainer"))
+    tp = profiling.Throughput()
+    best, best_ev = 0.0, None
     for epoch in range(args.n_epoch):
+        if args.profile and epoch == 1:   # epoch 0 pays compiles; trace epoch 1
+            trace_ctx = profiling.trace(osp.join(args.log_dir, "trace"))
+            trace_ctx.__enter__()
         t0 = time.time()
         agg = {"loss": [], "aps": [], "fid_prob": [], "fid_logit": []}
         n_ev = 0
+        tp.start("train")
         for batch in loops.iter_batches(ds.train, args.bs, shuffle=True,
                                         seed=args.seed + epoch,
                                         drop_remainder=True):
@@ -411,16 +449,29 @@ def main(argv=None):
                 np.asarray(aux["y_pred"]).ravel()))
             agg["fid_prob"].append(float(aux["fid_prob"]))
             agg["fid_logit"].append(float(aux["fid_logit"]))
+        rate = tp.stop("train", units=n_ev)
+        if args.profile and epoch == 1:
+            trace_ctx.__exit__(None, None, None)
+            print(f"profiler trace -> {osp.join(args.log_dir, 'trace')}")
         dt = time.time() - t0
         print(f"epoch {epoch}: loss={np.mean(agg['loss']):.4f} "
               f"aps={np.mean(agg['aps']):.4f} "
               f"fid_prob={np.mean(agg['fid_prob']):.4f} "
               f"fid_logit={np.mean(agg['fid_logit']):.4f} "
               f"({n_ev / dt:,.0f} events/s)")
+        # reference scalar-tag layout (temp_exp_main.py:521-532)
+        logger.add_scalars("Train", {
+            "loss": float(np.mean(agg["loss"])),
+            "aps": float(np.mean(agg["aps"])),
+            "fid_prob": float(np.mean(agg["fid_prob"])),
+            "fid_logit": float(np.mean(agg["fid_logit"])),
+            "events_per_s": rate}, epoch)
         ev = run_eval(exp_params, epoch)
+        logger.add_scalars("Test", ev, epoch)
+        logger.flush()
         score = ev["r_aps"] if args.test_threshold else ev["aps"]
-        if score > best:
-            best = score
+        if best_ev is None or score > best:
+            best, best_ev = score, ev
             save_params(ckpt, exp_params,
                         meta=dict(base_type=args.base_type, data=args.data,
                                   out_dim=args.out_dim, hid_dim=args.hid_dim,
@@ -428,6 +479,9 @@ def main(argv=None):
                                   node_dim=ds.node_feat.shape[1],
                                   edge_dim=ds.edge_feat.shape[1]))
             print(f"  saved best explainer -> {ckpt} (score={best:.4f})")
+    if best_ev is not None:
+        write_results(best_ev)
+    logger.close()
     return best
 
 
