@@ -1,17 +1,24 @@
 #!/bin/bash
-# Full quality pipeline on the real TPU chip: base eval + explainer training
-# for all three bases + enhance for tgn/graphmixer. Each step logs to
-# logs/<step>.log and failures do not stop later steps.
+# Full quality pipeline on the real TPU chip: base training + explainer
+# training for all three bases + enhance for tgn/graphmixer. Each step logs
+# to logs/<step>.log, writes logs/<step>.done on success, and is skipped on
+# re-run if its .done marker exists (resumable). Failures do not stop later
+# steps.
 cd /root/repo
 mkdir -p results logs
 
 run() {
   name="$1"; shift
+  if [ -f "logs/$name.done" ]; then
+    echo "=== $name: skipped (logs/$name.done exists) ==="
+    return 0
+  fi
   echo "=== $name: $* ==="
   start=$(date +%s)
   "$@" > "logs/$name.log" 2>&1
   rc=$?
   echo "=== $name done rc=$rc ($(($(date +%s) - start))s) ==="
+  if [ $rc -eq 0 ]; then touch "logs/$name.done"; fi
 }
 
 # retrain bases (r1 checkpoints predate the current attention-module layout)

@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import os.path as osp
 import random
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -188,3 +188,27 @@ def shuffled_events(events: EventStream, seed: Optional[int] = None) -> EventStr
     perm = rng.permutation(len(events))
     return EventStream(events.src[perm], events.dst[perm], events.ts,
                        events.label[perm], events.e_idx)
+
+
+def compute_time_statistics(events: EventStream
+                            ) -> Tuple[Tuple[float, float], Tuple[float, float]]:
+    """Per-side mean/std of inter-event gaps, consumed by the Jodie-style
+    "time" embedding's normalized time diffs (reference TGN/tgn.py:20-21,
+    131-140; the reference leaves them at (0,1) defaults because its driver
+    never passes them — we compute the real statistics).
+
+    For each event, the gap is ``ts - last_ts[node]`` with ``last_ts``
+    initialised to 0, tracked separately for source and destination roles.
+    Returns ``((mean_src, mean_dst), (std_src, std_dst))``.
+    """
+    n = max(events.num_nodes, 1)
+    diffs = []
+    for nodes in (events.src, events.dst):
+        last = np.zeros(n, np.float64)
+        d = np.empty(len(events), np.float64)
+        for k in range(len(events)):
+            d[k] = events.ts[k] - last[nodes[k]]
+            last[nodes[k]] = events.ts[k]
+        diffs.append(d)
+    return ((float(diffs[0].mean()), float(diffs[1].mean())),
+            (float(max(diffs[0].std(), 1e-9)), float(max(diffs[1].std(), 1e-9))))

@@ -95,6 +95,22 @@ class TGNAttnLayer(nn.Module):
 
 
 class TGN(nn.Module):
+    """Config variants mirror the reference factories:
+
+    * ``memory_updater``: "gru" | "rnn" (TGN/modules/memory_updater.py:46-66,
+      ``get_memory_updater``) — GRU vs vanilla tanh-RNN cell.
+    * ``aggregator``: "last" | "mean" (message_aggregator.py:34-90,
+      ``get_message_aggregator``). Pending messages per node always come from
+      a single batch (positives are persisted+cleared before new stores,
+      TGN/tgn.py:167-191), so a within-batch segment-mean with
+      buffer-overwrite reproduces ``MeanMessageAggregator`` exactly.
+    * ``message_function``: "mlp" | "identity" (message_function.py:13-40);
+      identity keeps the raw message dim (TGN/tgn.py:62-63).
+    * ``embedding_type``: "graph_attention" | "identity" | "time"
+      (embedding_module.py:184-236,396-443 ``get_embedding_module``); "time"
+      is the Jodie-style projection ``memory * (1 + W(Δt_norm))`` with the
+      per-side normalized time diffs of TGN/tgn.py:131-140.
+    """
     node_dim: int
     edge_dim: int
     num_nodes: int
@@ -102,6 +118,12 @@ class TGN(nn.Module):
     n_head: int = 2
     dropout: float = 0.1
     message_dim: int = 100      # TGN/tgn.py:17 message_dimension=100
+    memory_updater: str = "gru"
+    aggregator: str = "last"
+    message_function: str = "mlp"
+    embedding_type: str = "graph_attention"
+    mean_time_shift: Tuple[float, float] = (0.0, 0.0)   # (src, dst)
+    std_time_shift: Tuple[float, float] = (1.0, 1.0)
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -125,11 +147,27 @@ class TGN(nn.Module):
                          dropout=self.dropout,
                          compute_dtype=self.compute_dtype, name=f"attn_{i}")
             for i in range(self.n_layers)]
-        self.message_mlp = nn.Sequential([
-            nn.Dense(self.raw_message_dim // 2), nn.relu,
-            nn.Dense(self.message_dim)])          # MLPMessageFunction
-        self.memory_gru = nn.GRUCell(features=self.memory_dim,
-                                     name="memory_updater")
+        if self.message_function == "mlp":
+            self.message_mlp = nn.Sequential([
+                nn.Dense(self.raw_message_dim // 2), nn.relu,
+                nn.Dense(self.message_dim)])      # MLPMessageFunction
+        elif self.message_function != "identity":
+            raise ValueError(self.message_function)
+        if self.memory_updater == "gru":
+            self.memory_cell = nn.GRUCell(features=self.memory_dim,
+                                          name="memory_updater")
+        elif self.memory_updater == "rnn":
+            self.memory_cell = nn.SimpleCell(features=self.memory_dim,
+                                             name="memory_updater")
+        else:
+            raise ValueError(self.memory_updater)
+        if self.embedding_type == "time":
+            # Jodie NormalLinear: normal(0, 1/sqrt(fan_in)), fan_in = 1
+            init = jax.nn.initializers.normal(1.0)
+            self.jodie_proj = nn.Dense(self.node_dim, kernel_init=init,
+                                       bias_init=init)
+        elif self.embedding_type not in ("graph_attention", "identity"):
+            raise ValueError(self.embedding_type)
         self.affinity_score = ConcatMerge(hidden=self.node_dim, out=1)
 
     # ------------------------------------------------------------------
@@ -138,9 +176,12 @@ class TGN(nn.Module):
     def updated_memory(self, state: TGNMemoryState
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """get_updated_memory over all nodes (TGN/tgn.py:126,241-252): advance
-        memory rows that have a pending message through the GRU."""
-        msgs = self.message_mlp(state.msg_buf)
-        new_mem, _ = self.memory_gru(state.memory, msgs)
+        memory rows that have a pending message through the update cell."""
+        if self.message_function == "mlp":
+            msgs = self.message_mlp(state.msg_buf)
+        else:                                     # IdentityMessageFunction
+            msgs = state.msg_buf
+        new_mem, _ = self.memory_cell(state.memory, msgs)
         valid = state.msg_valid[:, None]
         memory = jnp.where(valid, new_mem, state.memory)
         last_update = jnp.where(state.msg_valid, state.msg_ts,
@@ -182,8 +223,19 @@ class TGN(nn.Module):
         winner = jnp.full((self.num_nodes,), -1, jnp.int32).at[nodes].max(pos_idx)
         has_msg = winner >= 0
         w = jnp.clip(winner, 0)
+        if self.aggregator == "last":
+            agg = msgs[w]
+        elif self.aggregator == "mean":
+            # MeanMessageAggregator (message_aggregator.py:56-90): mean of the
+            # batch's raw messages per node, timestamp of the last one.
+            cnt = jnp.zeros((self.num_nodes,), jnp.float32).at[nodes].add(1.0)
+            total = jnp.zeros((self.num_nodes, msgs.shape[1]),
+                              jnp.float32).at[nodes].add(msgs)
+            agg = total / jnp.clip(cnt, 1.0)[:, None]
+        else:
+            raise ValueError(self.aggregator)
         msg_buf = jnp.where(has_msg[:, None],
-                            jax.lax.stop_gradient(msgs[w]), state.msg_buf)
+                            jax.lax.stop_gradient(agg), state.msg_buf)
         msg_ts = jnp.where(has_msg, t_all[w], state.msg_ts)
         msg_valid = state.msg_valid | has_msg
         return state._replace(msg_buf=msg_buf, msg_ts=msg_ts,
@@ -262,15 +314,26 @@ class TGN(nn.Module):
         (temp_exp_main.py:703-704)."""
         upd_memory, upd_last = self.updated_memory(state)
 
-        def embed(anchors, sub, ew, ea):
-            return self._embed_chain(feats, upd_memory, anchors, cut_time, sub,
-                                     ew, ea, deterministic)
+        if self.embedding_type == "graph_attention":
+            def embed(anchors, sub, ew, ea, side):
+                return self._embed_chain(feats, upd_memory, anchors, cut_time,
+                                         sub, ew, ea, deterministic)
+        elif self.embedding_type == "identity":
+            # IdentityEmbedding (embedding_module.py:208-211)
+            def embed(anchors, sub, ew, ea, side):
+                return upd_memory[anchors]
+        else:                                     # "time" (Jodie, :214-236)
+            def embed(anchors, sub, ew, ea, side):
+                mean = self.mean_time_shift[side]
+                std = self.std_time_shift[side]
+                td = (cut_time - upd_last[anchors] - mean) / std
+                return upd_memory[anchors] * (1.0 + self.jodie_proj(td[:, None]))
 
         ew = explain_weights or (None, None, None)
         ea = edge_attr or (None, None, None)
-        src_emb = embed(src, sub_src, ew[0], ea[0])
-        tgt_emb = embed(tgt, sub_tgt, ew[1], ea[1])
-        bgd_emb = embed(bgd, sub_bgd, ew[2], ea[2])
+        src_emb = embed(src, sub_src, ew[0], ea[0], 0)
+        tgt_emb = embed(tgt, sub_tgt, ew[1], ea[1], 1)
+        bgd_emb = embed(bgd, sub_bgd, ew[2], ea[2], 1)
 
         if update_memory:
             positives = jnp.concatenate([src, tgt])

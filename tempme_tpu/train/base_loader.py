@@ -52,7 +52,16 @@ def load_base(ckpt_path: str, feats: Features) -> LoadedBase:
         from ..models.tgn import TGN, init_memory_state
         model = TGN(node_dim=node_dim, edge_dim=edge_dim,
                     num_nodes=meta["num_nodes"], n_layers=meta["n_layer"],
-                    n_head=meta["n_head"], dropout=meta["drop_out"])
+                    n_head=meta["n_head"], dropout=meta["drop_out"],
+                    memory_updater=meta.get("memory_updater", "gru"),
+                    aggregator=meta.get("aggregator", "last"),
+                    message_function=meta.get("message_function", "mlp"),
+                    embedding_type=meta.get("embedding_module",
+                                            "graph_attention"),
+                    mean_time_shift=tuple(meta.get("mean_time_shift",
+                                                   (0.0, 0.0))),
+                    std_time_shift=tuple(meta.get("std_time_shift",
+                                                  (1.0, 1.0))))
         mem = init_memory_state(meta["num_nodes"], model.memory_dim,
                                 model.raw_message_dim)
         params_t = _init_tgn(model, feats, mem, meta, key)

@@ -126,6 +126,14 @@ def main(argv=None):
     p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--eval_only", action="store_true",
                    help="evaluate the saved checkpoint on the test split")
+    # TGN module variants (reference TGN/modules/* factories)
+    p.add_argument("--memory_updater", choices=["gru", "rnn"], default="gru")
+    p.add_argument("--aggregator", choices=["last", "mean"], default="last")
+    p.add_argument("--message_function", choices=["mlp", "identity"],
+                   default="mlp")
+    p.add_argument("--embedding_module",
+                   choices=["graph_attention", "identity", "time"],
+                   default="graph_attention")
     args = p.parse_args(argv)
     if args.n_degree == 0:
         args.n_degree = DEGREE_DICT.get(args.data, 20)

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..data.events import load_dataset, RandEdgeSampler
+from ..data.events import load_dataset, RandEdgeSampler, compute_time_statistics
 from ..data.graph import build_temporal_graph
 from ..models.common import Features
 from ..models.tgn import TGN, init_memory_state
@@ -91,9 +91,18 @@ def main(args):
     g_full = build_temporal_graph(ds.full, ds.full.num_nodes, ds.full.num_edges)
     feats = Features(node=jnp.asarray(ds.node_feat), edge=jnp.asarray(ds.edge_feat))
 
+    mean_shift, std_shift = (0.0, 0.0), (1.0, 1.0)
+    if getattr(args, "embedding_module", "graph_attention") == "time":
+        mean_shift, std_shift = compute_time_statistics(ds.train)
     model = TGN(node_dim=ds.node_feat.shape[1], edge_dim=ds.edge_feat.shape[1],
                 num_nodes=ds.full.num_nodes, n_layers=2, n_head=args.n_head,
-                dropout=args.drop_out)
+                dropout=args.drop_out,
+                memory_updater=getattr(args, "memory_updater", "gru"),
+                aggregator=getattr(args, "aggregator", "last"),
+                message_function=getattr(args, "message_function", "mlp"),
+                embedding_type=getattr(args, "embedding_module",
+                                       "graph_attention"),
+                mean_time_shift=mean_shift, std_time_shift=std_shift)
     mem = init_memory_state(ds.full.num_nodes, model.memory_dim,
                             model.raw_message_dim)
     train_sampler = RandEdgeSampler([ds.train.src], [ds.train.dst])
@@ -171,7 +180,13 @@ def main(args):
                                   n_head=args.n_head, drop_out=args.drop_out,
                                   node_dim=ds.node_feat.shape[1],
                                   edge_dim=ds.edge_feat.shape[1],
-                                  num_nodes=ds.full.num_nodes))
+                                  num_nodes=ds.full.num_nodes,
+                                  memory_updater=model.memory_updater,
+                                  aggregator=model.aggregator,
+                                  message_function=model.message_function,
+                                  embedding_module=model.embedding_type,
+                                  mean_time_shift=list(mean_shift),
+                                  std_time_shift=list(std_shift)))
             print(f"  saved best checkpoint -> {ckpt_path} "
                   f"(ap={best['ap']:.4f})")
         if stopper.early_stop_check(test["ap"]):

@@ -181,3 +181,152 @@ def test_training_learns_synthetic_pattern():
         state, aux = step(state, batches[i % len(batches)])
         losses.append(float(aux["loss"]))
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def _tgn_apply(setup, **kw):
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    model = TGN(node_dim=DN, edge_dim=DE, num_nodes=g.num_nodes,
+                n_layers=2, n_head=2, dropout=0.0, **kw)
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    params = model.init(jax.random.PRNGKey(0), feats, mem, src, dst, dst, ts,
+                        eidx, *subs, deterministic=True)
+    (pos, neg), mem1 = model.apply(params, feats, mem, src, dst, dst, ts,
+                                   eidx, *subs, deterministic=True,
+                                   method=model.contrast)
+    return model, params, mem, mem1, pos
+
+
+def test_tgn_rnn_updater_variant(setup):
+    """RNNMemoryUpdater (memory_updater.py:49-66): runs, updates memory, and
+    swaps the GRU cell for a SimpleCell (different param structure)."""
+    model, params, mem, mem1, pos = _tgn_apply(setup, memory_updater="rnn")
+    assert pos.shape == (B, 1) and np.isfinite(np.asarray(pos)).all()
+    upd = params["params"]["memory_updater"]
+    assert "r" not in upd and "z" not in upd      # no GRU gates
+    # a second step advances memory rows with pending messages
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgn import TGN
+    (_, _), mem2 = model.apply(params, feats, mem1, src, dst, dst, ts + 1,
+                               eidx, *subs, deterministic=True,
+                               method=TGN.contrast)
+    valid = np.where(np.asarray(mem1.msg_valid))[0]
+    changed = np.abs(np.asarray(mem2.memory) - np.asarray(mem1.memory)).sum(1)
+    assert (changed[valid] > 0).any()
+
+
+def test_tgn_mean_aggregator_variant(setup):
+    """MeanMessageAggregator (message_aggregator.py:56-90): a node with
+    several messages in a batch stores their mean; the edge-feature slice of
+    the stored message must equal the mean of the occurrences' edge feats."""
+    g, feats, _, _, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    src = jnp.asarray(np.array([5, 5, 7, 9, 5, 7, 9, 9], np.int32))
+    dst = jnp.asarray(np.array([6, 8, 5, 6, 6, 6, 6, 5], np.int32))
+    outs = {}
+    for agg in ("last", "mean"):
+        model = TGN(node_dim=DN, edge_dim=DE, num_nodes=g.num_nodes,
+                    n_layers=2, n_head=2, dropout=0.0, aggregator=agg)
+        mem = init_memory_state(g.num_nodes, model.memory_dim,
+                                model.raw_message_dim)
+        params = model.init(jax.random.PRNGKey(0), feats, mem, src, dst, dst,
+                            ts, eidx, *subs, deterministic=True)
+        (_, _), mem1 = model.apply(params, feats, mem, src, dst, dst, ts,
+                                   eidx, *subs, deterministic=True,
+                                   method=TGN.contrast)
+        outs[agg] = np.asarray(mem1.msg_buf)
+    # node 8 occurs once (dst of event 1): mean == last
+    np.testing.assert_allclose(outs["mean"][8], outs["last"][8], rtol=1e-5)
+    # node 6 occurs 5 times (dst of events 0,3,4,5,6): msgs differ, and the
+    # edge-feature slice equals the mean of those events' edge features
+    assert not np.allclose(outs["mean"][6], outs["last"][6])
+    e = np.asarray(feats.edge)[np.asarray(eidx)[[0, 3, 4, 5, 6]]].mean(0)
+    np.testing.assert_allclose(outs["mean"][6][2 * DN:2 * DN + DE], e,
+                               rtol=1e-4)
+
+
+def test_tgn_identity_message_variant(setup):
+    """IdentityMessageFunction (message_function.py:29-40): raw messages feed
+    the memory cell directly; no message MLP parameters exist."""
+    model, params, mem, mem1, pos = _tgn_apply(setup,
+                                               message_function="identity")
+    assert pos.shape == (B, 1) and np.isfinite(np.asarray(pos)).all()
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert not any("message_mlp" in n for n in names)
+    valid = np.where(np.asarray(mem1.msg_valid))[0]
+    assert len(valid) > 0
+
+
+def test_tgn_identity_embedding_variant(setup):
+    """IdentityEmbedding (embedding_module.py:208-211): node embedding is the
+    updated memory row."""
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    model = TGN(node_dim=DN, edge_dim=DE, num_nodes=g.num_nodes,
+                n_layers=2, n_head=2, dropout=0.0, embedding_type="identity")
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    params = model.init(jax.random.PRNGKey(0), feats, mem, src, dst, dst, ts,
+                        eidx, *subs, deterministic=True)
+    # warm the memory with one step, then compare embeddings to memory rows
+    (_, _), mem1 = model.apply(params, feats, mem, src, dst, dst, ts, eidx,
+                               *subs, deterministic=True, method=TGN.contrast)
+    (src_e, tgt_e, _), _ = model.apply(params, feats, mem1, src, dst, dst,
+                                       ts + 1, eidx, *subs,
+                                       deterministic=True,
+                                       update_memory=False,
+                                       method=TGN.get_node_emb)
+    upd_mem, _ = model.apply(params, mem1, method=TGN.updated_memory)
+    np.testing.assert_allclose(np.asarray(src_e),
+                               np.asarray(upd_mem)[np.asarray(src)], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tgt_e),
+                               np.asarray(upd_mem)[np.asarray(dst)], rtol=1e-5)
+
+
+def test_tgn_time_embedding_variant(setup):
+    """TimeEmbedding / Jodie (embedding_module.py:214-236): embedding is
+    memory * (1 + W(normalized dt)) with per-side shift statistics."""
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    model = TGN(node_dim=DN, edge_dim=DE, num_nodes=g.num_nodes,
+                n_layers=2, n_head=2, dropout=0.0, embedding_type="time",
+                mean_time_shift=(2.0, 3.0), std_time_shift=(5.0, 7.0))
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    params = model.init(jax.random.PRNGKey(0), feats, mem, src, dst, dst, ts,
+                        eidx, *subs, deterministic=True)
+    (_, _), mem1 = model.apply(params, feats, mem, src, dst, dst, ts, eidx,
+                               *subs, deterministic=True, method=TGN.contrast)
+    (src_e, tgt_e, _), _ = model.apply(params, feats, mem1, src, dst, dst,
+                                       ts + 1, eidx, *subs,
+                                       deterministic=True,
+                                       update_memory=False,
+                                       method=TGN.get_node_emb)
+    upd_mem, upd_last = model.apply(params, mem1, method=TGN.updated_memory)
+    upd_mem, upd_last = np.asarray(upd_mem), np.asarray(upd_last)
+    k = np.asarray(params["params"]["jodie_proj"]["kernel"])
+    b_ = np.asarray(params["params"]["jodie_proj"]["bias"])
+    for emb, anchors, mean, std in ((src_e, src, 2.0, 5.0),
+                                    (tgt_e, dst, 3.0, 7.0)):
+        a = np.asarray(anchors)
+        td = (np.asarray(ts + 1) - upd_last[a] - mean) / std
+        want = upd_mem[a] * (1.0 + td[:, None] @ k + b_)
+        np.testing.assert_allclose(np.asarray(emb), want, rtol=2e-4, atol=1e-5)
+
+
+def test_compute_time_statistics():
+    from tempme_tpu.data.events import EventStream, compute_time_statistics
+    ev = EventStream(src=np.array([1, 1, 2], np.int32),
+                     dst=np.array([2, 3, 3], np.int32),
+                     ts=np.array([10.0, 25.0, 40.0], np.float32),
+                     label=np.zeros(3, np.float32),
+                     e_idx=np.array([1, 2, 3], np.int32))
+    (m_src, m_dst), (s_src, s_dst) = compute_time_statistics(ev)
+    # src gaps: [10-0, 25-10, 40-0] = [10, 15, 40]
+    np.testing.assert_allclose(m_src, np.mean([10, 15, 40]))
+    np.testing.assert_allclose(s_src, np.std([10, 15, 40]))
+    # dst gaps: [10-0, 25-0, 40-25] = [10, 25, 15]
+    np.testing.assert_allclose(m_dst, np.mean([10, 25, 15]))
+    np.testing.assert_allclose(s_dst, np.std([10, 25, 15]))
