@@ -18,8 +18,9 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.aggregators import LSTMPool, MapAttnLayer, MeanPool
 from ..ops.attention import SplitTemporalAttention
-from ..ops.encodings import TimeEncode
+from ..ops.encodings import make_time_encoder
 from ..ops.layers import GatedMerge, ConcatMerge
 from ..ops.sampler import Subgraph
 from .common import Features
@@ -71,11 +72,29 @@ class TGATAttnLayer(nn.Module):
 
 
 class TGAT(nn.Module):
+    """Variant flags mirror the reference factories:
+
+    * ``agg_method``: "attn" | "lstm" | "mean" (``init_attn_model_list``,
+      TGAT/TGAT.py:435-460);
+    * ``attn_mode``: "prod" | "map" (AttnModel's score mode,
+      TGAT/TGAT.py:99-106,140-218), only meaningful for agg_method="attn";
+    * ``use_time``: "time" | "pos" | "empty" (``init_time_encoder``,
+      TGAT/TGAT.py:435-445); "pos" needs ``pos_seq_len`` >= the widest
+      support level (n^num_layers).
+
+    The default prod path runs the TPU-optimized split-projection attention;
+    the variants share a raw-feature pyramid (``_node_embed_raw``) kept for
+    parity/ablations.
+    """
     node_dim: int
     edge_dim: int
     num_layers: int = 3
     n_head: int = 2
     dropout: float = 0.1
+    agg_method: str = "attn"
+    attn_mode: str = "prod"
+    use_time: str = "time"
+    pos_seq_len: int = 1024
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -83,14 +102,42 @@ class TGAT(nn.Module):
         return self.node_dim
 
     def setup(self):
-        self.time_encoder = TimeEncode(dim=self.time_dim, trainable=True)
-        self.attn_layers = [
-            TGATAttnLayer(feat_dim=self.node_dim, edge_dim=self.edge_dim,
-                          time_dim=self.time_dim, n_head=self.n_head,
-                          dropout=self.dropout,
-                          compute_dtype=self.compute_dtype, name=f"attn_{i}")
-            for i in range(self.num_layers)]
+        self.time_encoder = make_time_encoder(
+            self.use_time, self.time_dim, seq_len=self.pos_seq_len,
+            trainable=True, name="time_encoder")
+        if self.agg_method == "attn" and self.attn_mode == "prod":
+            self.attn_layers = [
+                TGATAttnLayer(feat_dim=self.node_dim, edge_dim=self.edge_dim,
+                              time_dim=self.time_dim, n_head=self.n_head,
+                              dropout=self.dropout,
+                              compute_dtype=self.compute_dtype,
+                              name=f"attn_{i}")
+                for i in range(self.num_layers)]
+        elif self.agg_method == "attn" and self.attn_mode == "map":
+            self.attn_layers = [
+                MapAttnLayer(feat_dim=self.node_dim, edge_dim=self.edge_dim,
+                             time_dim=self.time_dim, n_head=self.n_head,
+                             dropout=self.dropout, name=f"attn_{i}")
+                for i in range(self.num_layers)]
+        elif self.agg_method == "lstm":
+            self.attn_layers = [
+                LSTMPool(feat_dim=self.node_dim, edge_dim=self.edge_dim,
+                         time_dim=self.time_dim, name=f"attn_{i}")
+                for i in range(self.num_layers)]
+        elif self.agg_method == "mean":
+            self.attn_layers = [
+                MeanPool(feat_dim=self.node_dim, edge_dim=self.edge_dim,
+                         name=f"attn_{i}")
+                for i in range(self.num_layers)]
+        else:
+            raise ValueError(
+                f"invalid agg_method/attn_mode: {self.agg_method}/"
+                f"{self.attn_mode}")
         self.affinity_score = ConcatMerge(hidden=self.node_dim, out=1)
+
+    @property
+    def _uses_split_attention(self) -> bool:
+        return self.agg_method == "attn" and self.attn_mode == "prod"
 
     # -- feature assembly (TGAT/TGAT.py:643-676) ---------------------------
     def _time_features(self, cut_time, sub: Subgraph, n: int):
@@ -103,10 +150,49 @@ class TGAT(nn.Module):
             standard = t_rec
         return feats
 
+    def _node_embed_raw(self, feats: Features, src, cut_time, sub: Subgraph,
+                        explain_weights=None, deterministic: bool = True
+                        ) -> jnp.ndarray:
+        """Pyramid aggregation through the variant aggregators (map attention,
+        LSTM pool, mean pool), which consume raw per-level [node, edge, time]
+        features rather than the split projections. Parity/ablation path —
+        not the perf path."""
+        n = sub.nodes[0].shape[1]
+        node_levels = [src[:, None]] + list(sub.nodes)
+        masks = [nodes == 0 for nodes in sub.nodes]
+        tfeat = self._time_features(cut_time, sub, n)
+        b = src.shape[0]
+
+        l = self.num_layers
+        hidden = [feats.node[lv] for lv in node_levels]   # raw features/level
+        for layer in range(l):
+            lay = self.attn_layers[layer]
+            new_hidden = []
+            for i in range(l - layer):
+                q = hidden[i]                              # [B, n^i, Df]
+                nq = q.shape[1]
+                src_flat = q.reshape(b * nq, -1)
+                src_t = tfeat[i].reshape(b * nq, 1, -1)
+                seq = hidden[i + 1].reshape(b * nq, n, -1)
+                seq_e = feats.edge[sub.eids[i]].reshape(b * nq, n, -1)
+                seq_t = tfeat[i + 1].reshape(b * nq, n, -1)
+                mask = masks[i].reshape(b * nq, n)
+                ew = None
+                if explain_weights is not None:
+                    ew = explain_weights[i].reshape(b * nq, n)
+                out, _ = lay(src_flat, src_t, seq, seq_t, seq_e, mask,
+                             explain_weight=ew, deterministic=deterministic)
+                new_hidden.append(out.reshape(b, nq, -1))
+            hidden = new_hidden
+        return hidden[0].squeeze(1)
+
     def node_embed(self, feats: Features, src, cut_time, sub: Subgraph,
                    explain_weights: Optional[List[jnp.ndarray]] = None,
                    deterministic: bool = True) -> jnp.ndarray:
         """forward_msg (TGAT/TGAT.py:607-619): [B] src -> [B, node_dim]."""
+        if not self._uses_split_attention:
+            return self._node_embed_raw(feats, src, cut_time, sub,
+                                        explain_weights, deterministic)
         n = sub.nodes[0].shape[1]
         node_levels = [src[:, None]] + list(sub.nodes)
         masks = [nodes == 0 for nodes in sub.nodes]

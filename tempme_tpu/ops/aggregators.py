@@ -40,6 +40,17 @@ class MapBasedTemporalAttention(nn.Module):
     Interface-compatible with ``TemporalMultiHeadAttention``: q [B, Nq, D],
     k [B, Nq*n, D] (keys double as values), boolean ``mask`` [B, Nq*n] where
     True marks padding.
+
+    Deliberate deviations from the reference map path:
+
+    * each query attends only to its own n neighbors (scores [B, Nq, h, n]);
+      the reference computes a full lq x lk map over all Nq*n keys
+      (TGAT/TGAT.py:185-209), which cross-attends other sources' neighbors
+      and mishandles batched masks — here the per-source restriction matches
+      the semantics of the prod path;
+    * wq/wk/wv use normal(sqrt(2/(d_model+dk))) and weight_map uses
+      xavier-normal inits (the reference leaves them at PyTorch Linear
+      defaults).
     """
     n_head: int
     d_model: int
@@ -98,6 +109,10 @@ class LSTMPool(nn.Module):
     @nn.compact
     def __call__(self, src, src_t, seq, seq_t, seq_e, mask=None,
                  explain_weight=None, deterministic: bool = True):
+        if explain_weight is not None:
+            # the reference LSTMPool.forward takes no explain weight and
+            # would TypeError (TGAT/TGAT.py:287); fail loudly, not silently
+            raise ValueError("LSTMPool does not support explain weights")
         # src [Bq, Df]; seq/seq_e/seq_t [Bq, n, ·]; mask [Bq, n]
         seq_x = jnp.concatenate([seq, seq_e, seq_t], axis=-1)
         rnn = nn.RNN(nn.OptimizedLSTMCell(features=self.feat_dim),
@@ -119,8 +134,43 @@ class MeanPool(nn.Module):
     @nn.compact
     def __call__(self, src, src_t, seq, seq_t, seq_e, mask=None,
                  explain_weight=None, deterministic: bool = True):
+        if explain_weight is not None:
+            # reference MeanPool.forward takes no explain weight either
+            # (TGAT/TGAT.py:308); fail loudly, not silently
+            raise ValueError("MeanPool does not support explain weights")
         seq_x = jnp.concatenate([seq, seq_e], axis=-1)
         hn = seq_x.mean(axis=1)                             # [Bq, Df+De]
         merger = GatedMerge(dim3=self.feat_dim, dim4=self.feat_dim,
                             name="merger")
         return merger(hn, src), None
+
+
+class MapAttnLayer(nn.Module):
+    """AttnModel with ``attn_mode='map'`` (TGAT/TGAT.py:317-386, 140-218):
+    assembles q = [src‖0-edge‖src_t], k = [ngh‖edge‖ngh_t], runs the additive
+    attention, and merges the output with the raw source features. Same call
+    signature as LSTMPool/MeanPool (raw per-level features)."""
+    feat_dim: int
+    edge_dim: int
+    time_dim: int
+    n_head: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, src, src_t, seq, seq_t, seq_e, mask=None,
+                 explain_weight=None, deterministic: bool = True):
+        # src [Bq, Df]; src_t [Bq, 1, Dt]; seq/seq_e/seq_t [Bq, n, ·]
+        bq = src.shape[0]
+        d_model = self.feat_dim + self.edge_dim + self.time_dim
+        zero_e = jnp.zeros((bq, 1, self.edge_dim), src.dtype)
+        q = jnp.concatenate([src[:, None, :], zero_e, src_t], axis=-1)
+        k = jnp.concatenate([seq, seq_e, seq_t], axis=-1)
+        attn = MapBasedTemporalAttention(
+            n_head=self.n_head, d_model=d_model,
+            d_k=-(-d_model // self.n_head), dropout=self.dropout,
+            name="map_attn")
+        out, attn_w = attn(q, k, mask=mask, explain_weight=explain_weight,
+                           deterministic=deterministic)
+        merger = GatedMerge(dim3=self.feat_dim, dim4=self.feat_dim,
+                            name="merger")
+        return merger(out.squeeze(1), src), attn_w

@@ -41,11 +41,11 @@ class TimeEncode(nn.Module):
 
 class PosEncode(nn.Module):
     """Order-based positional encoding (reference ``PosEncode``,
-    TGAT/TGAT.py:244-255): embeds the *rank* of each neighbor in the
-    time-sorted support rather than its timestamp. The reference maps each
-    position through an ``nn.Embedding(seq_len, dim)``; here positions are
-    derived from the trailing axis length, so input [..., L] -> [..., L, dim].
-    """
+    TGAT/TGAT.py:244-255): embeds ``ts.argsort()`` per row through an
+    ``nn.Embedding(seq_len, dim)`` — exact reference semantics, including the
+    quirk that argsort output (sorting *indices*, not ranks) is what gets
+    embedded. Input [..., L] -> [..., L, dim]; requires L <= seq_len (the
+    reference's nn.Embedding would raise an index error past that)."""
     dim: int
     seq_len: int
 
@@ -55,9 +55,11 @@ class PosEncode(nn.Module):
             "pos_table", nn.initializers.normal(stddev=0.02),
             (self.seq_len, self.dim))
         length = ts.shape[-1]
-        order = jnp.arange(length) % self.seq_len
-        emb = table[order]                          # [L, dim]
-        return jnp.broadcast_to(emb, ts.shape + (self.dim,))
+        assert length <= self.seq_len, (
+            f"PosEncode: sequence length {length} exceeds seq_len "
+            f"{self.seq_len}")
+        order = jnp.argsort(ts, axis=-1)            # [..., L] ints < L
+        return table[order]                         # [..., L, dim]
 
 
 class EmptyEncode(nn.Module):

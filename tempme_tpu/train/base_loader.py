@@ -33,7 +33,11 @@ def load_base(ckpt_path: str, feats: Features) -> LoadedBase:
         from ..models.tgat import TGAT
         model = TGAT(node_dim=node_dim, edge_dim=edge_dim,
                      num_layers=meta["n_layer"], n_head=meta["n_head"],
-                     dropout=meta["drop_out"])
+                     dropout=meta["drop_out"],
+                     agg_method=meta.get("agg_method", "attn"),
+                     attn_mode=meta.get("attn_mode", "prod"),
+                     use_time=meta.get("use_time", "time"),
+                     pos_seq_len=meta.get("pos_seq_len", 1024))
         template = _init_stateless(model, feats, meta, key)
         params = load_params(ckpt_path, template)
         return LoadedBase(base_type, model, params, None, meta)

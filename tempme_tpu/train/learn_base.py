@@ -75,9 +75,14 @@ def eval_checkpoint(args):
 def build_model(base_type: str, node_dim: int, edge_dim: int, args):
     if base_type == "tgat":
         from ..models.tgat import TGAT
+        pos_len = max(64, args.n_degree ** args.n_layer)
         return TGAT(node_dim=node_dim, edge_dim=edge_dim,
                     num_layers=args.n_layer, n_head=args.n_head,
-                    dropout=args.drop_out), args.n_layer
+                    dropout=args.drop_out,
+                    agg_method=getattr(args, "agg_method", "attn"),
+                    attn_mode=getattr(args, "attn_mode", "prod"),
+                    use_time=getattr(args, "use_time", "time"),
+                    pos_seq_len=pos_len), args.n_layer
     if base_type == "graphmixer":
         from ..models.graphmixer import GraphMixer
         return GraphMixer(node_dim=node_dim, edge_dim=edge_dim,
@@ -134,6 +139,12 @@ def main(argv=None):
     p.add_argument("--embedding_module",
                    choices=["graph_attention", "identity", "time"],
                    default="graph_attention")
+    # TGAT variants (reference TGAT/TGAT.py:435-460 factories)
+    p.add_argument("--agg_method", choices=["attn", "lstm", "mean"],
+                   default="attn")
+    p.add_argument("--attn_mode", choices=["prod", "map"], default="prod")
+    p.add_argument("--use_time", choices=["time", "pos", "empty"],
+                   default="time")
     args = p.parse_args(argv)
     if args.n_degree == 0:
         args.n_degree = DEGREE_DICT.get(args.data, 20)
@@ -215,12 +226,16 @@ def main(argv=None):
         logger.flush()
         if best is None or test["ap"] > best["ap"]:
             best = test
-            save_params(ckpt_path, state.params,
-                        meta=dict(base_type=args.base_type, data=args.data,
-                                  n_degree=args.n_degree, n_layer=k,
-                                  n_head=args.n_head, drop_out=args.drop_out,
-                                  node_dim=ds.node_feat.shape[1],
-                                  edge_dim=ds.edge_feat.shape[1]))
+            meta = dict(base_type=args.base_type, data=args.data,
+                        n_degree=args.n_degree, n_layer=k,
+                        n_head=args.n_head, drop_out=args.drop_out,
+                        node_dim=ds.node_feat.shape[1],
+                        edge_dim=ds.edge_feat.shape[1])
+            if args.base_type == "tgat":
+                meta.update(agg_method=args.agg_method,
+                            attn_mode=args.attn_mode, use_time=args.use_time,
+                            pos_seq_len=max(64, args.n_degree ** k))
+            save_params(ckpt_path, state.params, meta=meta)
             print(f"  saved best checkpoint -> {ckpt_path} "
                   f"(ap={best['ap']:.4f})")
         if stopper.early_stop_check(test["ap"]):

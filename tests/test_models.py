@@ -330,3 +330,75 @@ def test_compute_time_statistics():
     # dst gaps: [10-0, 25-0, 40-25] = [10, 25, 15]
     np.testing.assert_allclose(m_dst, np.mean([10, 25, 15]))
     np.testing.assert_allclose(s_dst, np.std([10, 25, 15]))
+
+
+@pytest.mark.parametrize("kw", [
+    dict(agg_method="attn", attn_mode="map"),
+    dict(agg_method="lstm"),
+    dict(agg_method="mean"),
+    dict(use_time="pos", pos_seq_len=N_DEG * N_DEG),
+    dict(use_time="empty"),
+])
+def test_tgat_variants(setup, kw):
+    """TGAT aggregator / attention-mode / time-encoding variants
+    (TGAT/TGAT.py:435-460 factories): run contrast end-to-end, finite [B,1]
+    logits, and variant params actually differ from the default path."""
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgat import TGAT
+    model = TGAT(node_dim=DN, edge_dim=DE, num_layers=2, n_head=2,
+                 dropout=0.0, **kw)
+    params = model.init(jax.random.PRNGKey(0), feats, src, dst, dst, ts,
+                        *subs, deterministic=True)
+    pos, neg = model.apply(params, feats, src, dst, dst, ts, *subs,
+                           deterministic=True)
+    assert pos.shape == (B, 1) and neg.shape == (B, 1)
+    assert np.isfinite(np.asarray(pos)).all()
+    assert np.isfinite(np.asarray(neg)).all()
+
+
+def test_tgat_map_attention_explain_semantics(setup):
+    """Map attention keeps the explain-weight contract: all-ones weights
+    reproduce the unweighted output; zero weights change it."""
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgat import TGAT
+    model = TGAT(node_dim=DN, edge_dim=DE, num_layers=2, n_head=2,
+                 dropout=0.0, agg_method="attn", attn_mode="map")
+    params = model.init(jax.random.PRNGKey(0), feats, src, dst, dst, ts,
+                        *subs, deterministic=True)
+    pos, _ = model.apply(params, feats, src, dst, dst, ts, *subs,
+                         deterministic=True)
+    def hop_ones(s):
+        return [jnp.ones(s.nodes[0].shape, jnp.float32),
+                jnp.ones(s.nodes[1].shape, jnp.float32)]
+    ones = (( hop_ones(subs[0]), hop_ones(subs[1])),
+            ( hop_ones(subs[0]), hop_ones(subs[2])))
+    pos1, _ = model.apply(params, feats, src, dst, dst, ts, *subs,
+                          explain_weights=ones, deterministic=True,
+                          method=TGAT.contrast)
+    np.testing.assert_allclose(np.asarray(pos), np.asarray(pos1), rtol=1e-4)
+    zeros = (([jnp.zeros(subs[0].nodes[0].shape, jnp.float32),
+               jnp.zeros(subs[0].nodes[1].shape, jnp.float32)],
+              hop_ones(subs[1])),
+             (hop_ones(subs[0]), hop_ones(subs[2])))
+    pos0, _ = model.apply(params, feats, src, dst, dst, ts, *subs,
+                          explain_weights=zeros, deterministic=True,
+                          method=TGAT.contrast)
+    assert not np.allclose(np.asarray(pos), np.asarray(pos0))
+
+
+def test_tgat_pool_variants_reject_explain_weights(setup):
+    """LSTMPool/MeanPool raise on explain weights rather than silently
+    dropping them (the reference forward would TypeError)."""
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgat import TGAT
+    for agg in ("lstm", "mean"):
+        model = TGAT(node_dim=DN, edge_dim=DE, num_layers=2, n_head=2,
+                     dropout=0.0, agg_method=agg)
+        params = model.init(jax.random.PRNGKey(0), feats, src, dst, dst, ts,
+                            *subs, deterministic=True)
+        ones = [jnp.ones(subs[0].nodes[0].shape, jnp.float32),
+                jnp.ones(subs[0].nodes[1].shape, jnp.float32)]
+        with pytest.raises(ValueError):
+            model.apply(params, feats, src, dst, dst, ts, *subs,
+                        explain_weights=((ones, ones), (ones, ones)),
+                        deterministic=True, method=TGAT.contrast)
