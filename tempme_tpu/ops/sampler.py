@@ -129,20 +129,36 @@ def _uniform_pick(key, cut: jnp.ndarray, n: int) -> jnp.ndarray:
 
 def sample_neighbors(g: TemporalGraph, key, nodes: jnp.ndarray,
                      times: jnp.ndarray, n: int, bias: float = 0.0,
-                     eids: jnp.ndarray | None = None
+                     eids: jnp.ndarray | None = None,
+                     sample_method: str = "multinomial"
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """k=1 temporal neighbor sampling => ([Q,n] node, [Q,n] eid, [Q,n] ts).
 
-    Vectorized ``get_temporal_neighbor`` (utils/graph.py:197-231). ``bias=0``
-    is the uniform mode every reference driver uses (NeighborFinder default);
-    ``bias>0`` applies exp(-bias*Δt) weights via per-draw Gumbel-argmax.
+    Vectorized ``get_temporal_neighbor`` (utils/graph.py:197-231), all three
+    reference modes:
+
+    * ``multinomial`` + ``bias=0`` — uniform with replacement, sorted output
+      (the mode every reference driver uses; NeighborFinder default);
+    * ``multinomial`` + ``bias>0`` — exp(-bias*Δt)-weighted multinomial,
+      sorted output (utils/graph.py:216-223);
+    * ``binary`` — the Numba ``seq_binary_sample`` path (utils/graph.py:
+      225-227, 482-507). The reference's backward accept/reject over
+      ``compute_binary_prob`` probs w[i]/cumsum(w)[i] telescopes to EXACT
+      multinomial sampling with weights w[i] = exp(bias*(ts[i]-max_ts)):
+      P(i) = (w[i]/W[i]) * prod_{j>i} (W[j-1]/W[j]) = w[i]/W[cut-1].
+      Since times is constant per row, exp(bias*ts) and exp(-bias*(t-ts))
+      draw from the same distribution — so "binary" equals the multinomial
+      branch except its draws are NOT sorted (the reference sorts only the
+      multinomial branch, utils/graph.py:219-227).
     """
     if eids is None:
         start, cut = cut_by_time(g, nodes, times)
     else:
         start, cut = cut_by_edge(g, nodes, eids)
 
-    if bias == 0.0:
+    if sample_method == "binary":
+        idx = _decay_pick(g, key, start, cut, times, n, bias, sort=False)
+    elif bias == 0.0:
         idx = _uniform_pick(key, cut, n)
     else:
         idx = _decay_pick(g, key, start, cut, times, n, bias)
@@ -155,8 +171,8 @@ def sample_neighbors(g: TemporalGraph, key, nodes: jnp.ndarray,
     return out_node, out_eid, out_ts
 
 
-def _decay_pick(g: TemporalGraph, key, start, cut, times, n: int, bias: float
-                ) -> jnp.ndarray:
+def _decay_pick(g: TemporalGraph, key, start, cut, times, n: int, bias: float,
+                sort: bool = True) -> jnp.ndarray:
     """Exp-decay multinomial sampling with replacement via Gumbel-argmax,
     scanned in chunks over each slice (utils/graph.py:216-227 semantics)."""
     q = start.shape[0]
@@ -188,12 +204,13 @@ def _decay_pick(g: TemporalGraph, key, start, cut, times, n: int, bias: float
 
     init = (jnp.int32(0), jnp.full((q, n), -jnp.inf), jnp.zeros((q, n), jnp.int32))
     _, _, idx = lax.while_loop(cond, body, init)
-    return jnp.sort(idx, axis=1)
+    return jnp.sort(idx, axis=1) if sort else idx
 
 
 def find_k_hop(g: TemporalGraph, key, src: jnp.ndarray, times: jnp.ndarray,
                k: int, n: int, eids: jnp.ndarray | None = None,
-               bias: float = 0.0) -> Subgraph:
+               bias: float = 0.0, sample_method: str = "multinomial"
+               ) -> Subgraph:
     """Recursive k-hop support (utils/graph.py:233-260), fixed shapes.
 
     Hop 0 samples each (src, t) uniformly from its strict history; hop ℓ>0
@@ -209,10 +226,8 @@ def find_k_hop(g: TemporalGraph, key, src: jnp.ndarray, times: jnp.ndarray,
         qt = cur_t.reshape(-1)
         qe = cur_e.reshape(-1) if (cur_e is not None and layer > 0) else (
             cur_e if layer == 0 else None)
-        if layer == 0:
-            nn, ne, nt = sample_neighbors(g, sub, qn, qt, n, bias=bias, eids=qe)
-        else:
-            nn, ne, nt = sample_neighbors(g, sub, qn, qt, n, bias=bias, eids=qe)
+        nn, ne, nt = sample_neighbors(g, sub, qn, qt, n, bias=bias, eids=qe,
+                                      sample_method=sample_method)
         nodes.append(nn.reshape(b, -1))
         es.append(ne.reshape(b, -1))
         tss.append(nt.reshape(b, -1))

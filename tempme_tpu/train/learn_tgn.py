@@ -25,8 +25,11 @@ def make_tgn_train_step(model, g_train, feats, dst_table, n, optimizer):
     @jax.jit
     def step(state: loops.TrainState, mem, batch: loops.Batch):
         key, k_samp, k_drop = jax.random.split(state.key, 3)
+        # e-path off: TGN.grab_subgraph hard-codes e_idx_l=None
+        # (TGN/tgn.py:283-284), same as the TGAT/GraphMixer base paths
         bgd, s_src, s_tgt, s_bgd = loops.sample_support(
-            g_train, k_samp, batch, dst_table, model.n_layers, n)
+            g_train, k_samp, batch, dst_table, model.n_layers, n,
+            use_eidx=False)
 
         def loss_fn(params):
             (pos, neg), new_mem = model.apply(
@@ -54,7 +57,7 @@ def make_tgn_eval_step(model, g_full, feats, dst_table, n):
     @jax.jit
     def step(params, mem, key, batch: loops.Batch):
         bgd, s_src, s_tgt, s_bgd = loops.sample_support(
-            g_full, key, batch, dst_table, model.n_layers, n)
+            g_full, key, batch, dst_table, model.n_layers, n, use_eidx=False)
         (pos, neg), new_mem = model.apply(
             params, feats, mem, batch.src, batch.dst, bgd, batch.ts,
             batch.eidx, s_src, s_tgt, s_bgd, deterministic=True,

@@ -41,10 +41,13 @@ def sample_support(g: TemporalGraph, key, batch: Batch, dst_table: jnp.ndarray,
                    k: int, n: int, use_eidx: bool = True):
     """Negatives + 3x k-hop subgraphs, all on device.
 
-    Hop-0 for the anchor (src/dst) cuts history at the batch event's own edge
-    when available (e-path), matching the reference's use of ``e_idx_l`` in
-    ``find_k_hop`` during training (learn_base.py:224-226 passes none, but the
-    preprocessing and explainer paths pass e_idx — we thread it through).
+    ``use_eidx=False`` (all base-model training/eval paths) cuts history at
+    the batch timestamp, matching the reference's ``grab_subgraph`` which
+    passes ``e_idx_l=None`` for all three models (learn_base.py:224-226,
+    TGN/tgn.py:283-284, GraphM/graphmixer.py:232-234).  ``use_eidx=True``
+    cuts hop-0 at the batch event's own edge (e-path), matching the offline
+    preprocessing / explainer walk paths which do pass ``e_idx``
+    (processed/data_preprocess.py:112-117).
     """
     kn, k1, k2, k3 = jax.random.split(key, 4)
     neg_idx = jax.random.randint(kn, batch.src.shape, 0, dst_table.shape[0])

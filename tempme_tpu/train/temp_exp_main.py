@@ -158,8 +158,6 @@ def mask_supports_for_ratios(explanation, subs, ratios, n_degree, base_type):
         return S.Subgraph(tuple(nodes), tuple(eids), tuple(tss))
 
     # side order: the 3B stacking is (src, tgt, bgd)
-    def split_sides(sub_list):
-        return sub_list
     return [mask_side(i, subs[i]) for i in range(3)]
 
 

@@ -256,3 +256,51 @@ def test_find_k_walks_t_codes(events):
                          1 if (s3 == s1 and u3 == u1) or (s3 == u1 and u3 == s1) \
                          else 0
             assert t == expect
+
+
+def test_binary_sample_method_distribution(events):
+    """The "binary" mode (reference seq_binary_sample, utils/graph.py:482-507)
+    must draw event i with probability exp(bias*ts_i) / sum_j exp(bias*ts_j)
+    over the strict-history prefix — the closed form of the reference's
+    backward accept/reject over compute_binary_prob (utils/graph.py:68-75):
+    P(i) = (w_i/W_i) * prod_{j>i} (W_{j-1}/W_j) = w_i / W_last.
+    """
+    g = build_temporal_graph(events)
+    oracle = Oracle(events)
+    node = max(range(events.num_nodes), key=lambda v: len(oracle.adj[v]))
+    t_cut = float(events.ts.max()) + 1.0
+    pre = oracle.prefix(node, t_cut)
+    ts = np.array([t for (_, _, t) in pre], np.float64)
+    bias = 0.02
+    w = np.exp(bias * (ts - ts.max()))
+    p = w / w.sum()
+
+    draws = 6000
+    nn, ne, _ = S.sample_neighbors(
+        g, jax.random.PRNGKey(7),
+        jnp.full((draws,), node, jnp.int32), jnp.full((draws,), t_cut), 1,
+        bias=bias, sample_method="binary")
+    counts = np.bincount(np.asarray(ne).ravel(), minlength=g.num_edges)
+    got = np.array([counts[e] for (_, e, _) in pre], np.float64)
+    expect = draws * p
+    sigma = np.sqrt(draws * p * (1 - p))
+    assert np.abs(got - expect).max() < 6 * sigma.max() + 3
+
+
+def test_binary_sample_method_unsorted(events):
+    """Unlike the multinomial branch, binary-mode draws are NOT sorted
+    (the reference sorts only the multinomial branch, utils/graph.py:219-227)."""
+    g = build_temporal_graph(events)
+    oracle = Oracle(events)
+    node = max(range(events.num_nodes), key=lambda v: len(oracle.adj[v]))
+    t_cut = float(events.ts.max()) + 1.0
+    _, _, ts_bin = S.sample_neighbors(
+        g, jax.random.PRNGKey(11), jnp.asarray([node] * 16, jnp.int32),
+        jnp.full((16,), t_cut), 8, bias=0.01, sample_method="binary")
+    ts_bin = np.asarray(ts_bin)
+    assert (np.diff(ts_bin, axis=1) < 0).any(), "binary draws look sorted"
+    # multinomial branch stays time-sorted
+    _, _, ts_mul = S.sample_neighbors(
+        g, jax.random.PRNGKey(11), jnp.asarray([node] * 16, jnp.int32),
+        jnp.full((16,), t_cut), 8, bias=0.01)
+    assert (np.diff(np.asarray(ts_mul), axis=1) >= 0).all()
