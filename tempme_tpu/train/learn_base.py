@@ -131,6 +131,9 @@ def main(argv=None):
     p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--eval_only", action="store_true",
                    help="evaluate the saved checkpoint on the test split")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the .train_state checkpoint if present "
+                        "(params + optimizer + RNG + early-stop state)")
     # TGN module variants (reference TGN/modules/* factories)
     p.add_argument("--memory_updater", choices=["gru", "rnn"], default="gru")
     p.add_argument("--aggregator", choices=["last", "mean"], default="last")
@@ -191,11 +194,27 @@ def main(argv=None):
     best = None
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_path = osp.join(args.out_dir, f"{args.base_type}_{args.data}.msgpack")
+    # full-train-state checkpoint for stop/resume (params + optimizer state +
+    # RNG + stopper; the reference has no resume story, SURVEY.md §5.4)
+    train_ckpt = ckpt_path + ".train_state"
+    start_epoch = 0
+    if args.resume and osp.exists(train_ckpt):
+        from ..utils.checkpoint import load_checkpoint
+        blob, tmeta = load_checkpoint(train_ckpt,
+                                      {"params": state.params,
+                                       "opt_state": state.opt_state,
+                                       "key": state.key})
+        state = loops.TrainState(blob["params"], blob["opt_state"],
+                                 blob["key"])
+        start_epoch = tmeta["epoch"] + 1
+        best = tmeta["best"]
+        stopper.load_state_dict(tmeta["stopper"])
+        print(f"resumed from {train_ckpt} at epoch {start_epoch}")
     logger = MetricsLogger(
         args.log_dir,
         run_name=time.strftime(f"{args.base_type}_{args.data}_%Y%m%d_%H%M%S"))
     epoch_fn = loops.make_base_train_epoch(train_step)
-    for epoch in range(args.n_epoch):
+    for epoch in range(start_epoch, args.n_epoch):
         t0 = time.time()
         batches = loops.stack_batches(ds.train, args.bs, shuffle=True,
                                       seed=args.seed + epoch)
@@ -238,7 +257,13 @@ def main(argv=None):
             save_params(ckpt_path, state.params, meta=meta)
             print(f"  saved best checkpoint -> {ckpt_path} "
                   f"(ap={best['ap']:.4f})")
-        if stopper.early_stop_check(test["ap"]):
+        stop = stopper.early_stop_check(test["ap"])
+        save_params(train_ckpt, {"params": state.params,
+                                 "opt_state": state.opt_state,
+                                 "key": state.key},
+                    meta=dict(epoch=epoch, best=best,
+                              stopper=stopper.state_dict()))
+        if stop:
             print(f"early stop at epoch {epoch}")
             break
     logger.close()

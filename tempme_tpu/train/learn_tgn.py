@@ -138,12 +138,29 @@ def main(args):
     best = None
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_path = osp.join(args.out_dir, f"tgn_{args.data}.msgpack")
+    # stop/resume train-state checkpoint (params + optimizer + RNG + memory +
+    # stopper — the TGN memory is part of the sequential training state)
+    train_ckpt = ckpt_path + ".train_state"
+    start_epoch = 0
+    if getattr(args, "resume", False) and osp.exists(train_ckpt):
+        from ..utils.checkpoint import load_checkpoint
+        blob, tmeta = load_checkpoint(train_ckpt,
+                                      {"params": state.params,
+                                       "opt_state": state.opt_state,
+                                       "key": state.key, "memory": mem})
+        state = loops.TrainState(blob["params"], blob["opt_state"],
+                                 blob["key"])
+        mem = blob["memory"]
+        start_epoch = tmeta["epoch"] + 1
+        best = tmeta["best"]
+        stopper.load_state_dict(tmeta["stopper"])
+        print(f"resumed from {train_ckpt} at epoch {start_epoch}")
     from ..utils.logging import MetricsLogger
     logger = MetricsLogger(
         args.log_dir,
         run_name=time.strftime(f"tgn_{args.data}_%Y%m%d_%H%M%S"))
     epoch_fn = loops.make_tgn_train_epoch(train_step)
-    for epoch in range(args.n_epoch):
+    for epoch in range(start_epoch, args.n_epoch):
         t0 = time.time()
         batches = loops.stack_batches(ds.train, args.bs, shuffle=True,
                                       seed=args.seed + epoch)
@@ -192,7 +209,13 @@ def main(args):
                                   std_time_shift=list(std_shift)))
             print(f"  saved best checkpoint -> {ckpt_path} "
                   f"(ap={best['ap']:.4f})")
-        if stopper.early_stop_check(test["ap"]):
+        stop = stopper.early_stop_check(test["ap"])
+        save_params(train_ckpt, {"params": state.params,
+                                 "opt_state": state.opt_state,
+                                 "key": state.key, "memory": mem},
+                    meta=dict(epoch=epoch, best=best,
+                              stopper=stopper.state_dict()))
+        if stop:
             print(f"early stop at epoch {epoch}")
             break
     logger.close()

@@ -83,6 +83,16 @@ class EarlyStopMonitor:
         self.higher_better = higher_better
         self.tolerance = tolerance
 
+    def state_dict(self) -> dict:
+        return dict(num_round=self.num_round, epoch_count=self.epoch_count,
+                    best_epoch=self.best_epoch, last_best=self.last_best)
+
+    def load_state_dict(self, d: dict) -> None:
+        self.num_round = d["num_round"]
+        self.epoch_count = d["epoch_count"]
+        self.best_epoch = d["best_epoch"]
+        self.last_best = d["last_best"]
+
     def early_stop_check(self, curr_val: float) -> bool:
         self.epoch_count += 1
         if not self.higher_better:

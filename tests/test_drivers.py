@@ -129,3 +129,104 @@ def test_tb_event_files_written(workdir):
                 rec = json.loads(lines[0])
                 assert {"tag", "value", "step"} <= set(rec)
     assert found_tb and found_jsonl
+
+
+def test_resume_bitwise_continuation(workdir):
+    """Stop-at-epoch-k / resume / bitwise-continue (VERDICT r1 #9): training
+    2 epochs, then resuming for a 3rd, must produce byte-identical best
+    checkpoints to an uninterrupted 3-epoch run."""
+    from tempme_tpu.train.learn_base import main
+
+    def run(tag, epochs, resume=False):
+        out = workdir / f"resume_{tag}"
+        argv = ["--data", "synth", "--data_dir", str(workdir),
+                "--bs", str(BS), "--seed", "0",
+                "--log_dir", str(workdir / "tb"),
+                "--results_dir", str(workdir / "results"),
+                "--base_type", "graphmixer", "--n_degree", str(N_DEGREE),
+                "--n_layer", "2", "--n_epoch", str(epochs),
+                "--out_dir", str(out)]
+        if resume:
+            argv.append("--resume")
+        main(argv)
+        return out
+
+    a = run("oneshot", 3)
+    b = run("split", 2)
+    run("split", 3, resume=True)
+    blob_a = (a / "graphmixer_synth.msgpack.train_state").read_bytes()
+    blob_b = (b / "graphmixer_synth.msgpack.train_state").read_bytes()
+    assert blob_a == blob_b, "resumed train state != uninterrupted train state"
+    best_a = (a / "graphmixer_synth.msgpack").read_bytes()
+    best_b = (b / "graphmixer_synth.msgpack").read_bytes()
+    assert best_a == best_b, "resumed best ckpt != uninterrupted best ckpt"
+
+
+def test_resume_bitwise_continuation_tgn(workdir):
+    """Same stop/resume contract for the stateful TGN path (memory is part
+    of the resumed train state)."""
+    from tempme_tpu.train.learn_base import main
+
+    def run(tag, epochs, resume=False):
+        out = workdir / f"resume_tgn_{tag}"
+        argv = ["--data", "synth", "--data_dir", str(workdir),
+                "--bs", str(BS), "--seed", "0",
+                "--log_dir", str(workdir / "tb"),
+                "--results_dir", str(workdir / "results"),
+                "--base_type", "tgn", "--n_degree", str(N_DEGREE),
+                "--n_epoch", str(epochs), "--out_dir", str(out)]
+        if resume:
+            argv.append("--resume")
+        main(argv)
+        return out
+
+    a = run("oneshot", 3)
+    b = run("split", 2)
+    run("split", 3, resume=True)
+    blob_a = (a / "tgn_synth.msgpack.train_state").read_bytes()
+    blob_b = (b / "tgn_synth.msgpack.train_state").read_bytes()
+    assert blob_a == blob_b
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """parallel/checkpoint.py: save a mesh-sharded train state with Orbax and
+    restore it (a) onto the same shardings and (b) re-sharded onto a
+    different mesh; values must round-trip exactly."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tempme_tpu.parallel import mesh as M
+    from tempme_tpu.parallel.checkpoint import (latest_step, restore_sharded,
+                                                save_sharded)
+
+    mesh = M.make_mesh(2, 2, 2)
+    state = {
+        "w": jax.device_put(jnp.arange(64, dtype=jnp.float32).reshape(8, 8),
+                            NamedSharding(mesh, P("dp", "tp"))),
+        "mem": jax.device_put(jnp.arange(32, dtype=jnp.float32).reshape(8, 4),
+                              M.memory_sharding(mesh)),
+        "step": jax.device_put(jnp.int32(7), M.replicated(mesh)),
+    }
+    d = str(tmp_path / "ckpt")
+    save_sharded(d, state, step=3)
+    assert latest_step(d) == 3
+
+    out = restore_sharded(d, 3, state)
+    for k in state:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(state[k]), err_msg=k)
+        assert out[k].sharding == state[k].sharding
+
+    # restore onto a different mesh layout (dp-only)
+    mesh2 = M.make_mesh(8, 1, 1)
+
+    def sharding_fn(path, x):
+        name = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if name == "w":
+            return NamedSharding(mesh2, P("dp", None))
+        return M.replicated(mesh2)
+
+    out2 = restore_sharded(d, 3, state, mesh=mesh2, sharding_fn=sharding_fn)
+    for k in state:
+        np.testing.assert_array_equal(np.asarray(out2[k]),
+                                      np.asarray(state[k]), err_msg=k)
