@@ -104,6 +104,38 @@ def pack_walks_14(cache: dict, side: str) -> np.ndarray:
     ], axis=-1)
 
 
+def cache_to_inputs(cache: dict, idx: np.ndarray, n_degree: int):
+    """Slice a cached split by batch indices into the online sampler's output
+    types: ``(bgd, (sub_src, sub_tgt, sub_bgd), (w_src, w_tgt, w_bgd))`` —
+    the ``get_item`` / ``get_item_edge`` equivalents
+    (utils/batch_loader.py:204-242), feeding the same train/eval steps that
+    consume online samples.
+    """
+    from ..explain.tempme import WalkInputs
+
+    def sub(side):
+        nodes, eids, ts = [], [], []
+        for h in (0, 1):
+            w = n_degree ** (h + 1)
+            arr = cache[f"subgraph_{side}_{h}"][idx]
+            nodes.append(jnp.asarray(arr[:, :w], jnp.int32))
+            eids.append(jnp.asarray(arr[:, w:2 * w], jnp.int32))
+            ts.append(jnp.asarray(arr[:, 2 * w:], jnp.float32))
+        return S.Subgraph(tuple(nodes), tuple(eids), tuple(ts))
+
+    def wlk(side):
+        return WalkInputs(
+            nodes=jnp.asarray(cache[f"walks_{side}_nodes"][idx], jnp.int32),
+            eids=jnp.asarray(cache[f"walks_{side}_eids"][idx], jnp.int32),
+            ts=jnp.asarray(cache[f"walks_{side}_ts"][idx], jnp.float32),
+            cat=jnp.asarray(cache[f"walks_{side}_cat"][idx], jnp.int32),
+            edge_count=jnp.asarray(cache[f"edge_{side}"][idx], jnp.float32))
+
+    bgd = jnp.asarray(cache["dst_fake"][idx], jnp.int32)
+    return (bgd, (sub("src"), sub("tgt"), sub("bgd")),
+            (wlk("src"), wlk("tgt"), wlk("bgd")))
+
+
 def save_cache(path: str, cache: dict) -> None:
     np.savez_compressed(path, **cache)
 

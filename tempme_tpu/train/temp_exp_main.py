@@ -189,6 +189,12 @@ def main(argv=None):
                         "eval protocol once (no training)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of one train epoch")
+    p.add_argument("--use_cache", action="store_true",
+                   help="train/eval from the offline walk cache (built on "
+                        "first use) instead of online sampling — the "
+                        "reference's preprocessed-pack path "
+                        "(temp_exp_main.py:705-714)")
+    p.add_argument("--cache_dir", type=str, default="cache")
     args = p.parse_args(argv)
     ratios = DEFAULT_RATIOS
 
@@ -272,10 +278,9 @@ def main(argv=None):
 
     # ------------------------------------------------------------------
     @jax.jit
-    def train_step(exp_params, opt_state, key, batch: loops.Batch):
-        k_samp, k_drop, k_beta, k_next = jax.random.split(key, 4)
-        bgd, subs, walks = sample_explainer_inputs(
-            g_train, k_samp, batch, dst_train, n_degree)
+    def train_core(exp_params, opt_state, key, batch: loops.Batch,
+                   bgd, subs, walks):
+        _, k_drop, k_beta, k_next = jax.random.split(key, 4)
         pos_ori, neg_ori = contrast(batch.src, batch.dst, bgd, batch.ts,
                                     batch.eidx, *subs, None)
         y_ori = (jnp.concatenate([pos_ori, neg_ori]) > 0.0).astype(jnp.float32)
@@ -313,12 +318,16 @@ def main(argv=None):
             y_pred=jax.nn.sigmoid(pred), fid_prob=fid_prob,
             fid_logit=fid_logit)
 
+    @jax.jit
+    def train_step(exp_params, opt_state, key, batch: loops.Batch):
+        k_samp = jax.random.split(key, 4)[0]
+        bgd, subs, walks = sample_explainer_inputs(
+            g_train, k_samp, batch, dst_train, n_degree)
+        return train_core(exp_params, opt_state, key, batch, bgd, subs, walks)
+
     # ------------------------------------------------------------------
     @jax.jit
-    def eval_step(exp_params, key, batch: loops.Batch):
-        k_samp, _ = jax.random.split(key)
-        bgd, subs, walks = sample_explainer_inputs(
-            g_full, k_samp, batch, dst_test, n_degree)
+    def eval_core(exp_params, batch: loops.Batch, bgd, subs, walks):
         pos_ori, neg_ori = contrast(batch.src, batch.dst, bgd, batch.ts,
                                     batch.eidx, *subs, None)
         y_ori = (jnp.concatenate([pos_ori, neg_ori]) > 0.0).astype(jnp.float32)
@@ -349,16 +358,77 @@ def main(argv=None):
             pos=pos, neg=neg, kl=kl,
             pos_r=pos_r.reshape(r, -1), neg_r=neg_r.reshape(r, -1))
 
+    @jax.jit
+    def eval_step(exp_params, key, batch: loops.Batch):
+        k_samp, _ = jax.random.split(key)
+        bgd, subs, walks = sample_explainer_inputs(
+            g_full, k_samp, batch, dst_test, n_degree)
+        return eval_core(exp_params, batch, bgd, subs, walks)
+
+    # ------------------------------------------------------------------
+    # offline-cache path (--use_cache): train/eval from the walk cache via
+    # the get_item-equivalent readers (reference utils/batch_loader.py:
+    # 120-242, temp_exp_main.py:705-714)
+    caches = {}
+    if args.use_cache:
+        from ..data.cache import (build_walk_cache, cache_to_inputs,
+                                  load_cache, save_cache)
+        os.makedirs(args.cache_dir, exist_ok=True)
+        for mode, events_m, g_m, sampler_m in (
+                ("train", ds.train, g_train, train_sampler),
+                ("test", ds.test, g_full, test_sampler)):
+            path = osp.join(args.cache_dir, f"{args.data}_{mode}.npz")
+            if not osp.exists(path):
+                print(f"building walk cache -> {path}")
+                save_cache(path, build_walk_cache(
+                    g_m, events_m, sampler_m, n_degree, seed=args.seed))
+            caches[mode] = load_cache(path)
+
+    def batch_with_inputs(events, mode, bs, shuffle, seed, drop_remainder):
+        """Yield (batch, (bgd, subs, walks)) — online-sampled under jit when
+        no cache, sliced from the cache otherwise."""
+        n = len(events)
+        order = np.arange(n)
+        if shuffle:
+            np.random.RandomState(seed).shuffle(order)
+        for s in range(0, n, bs):
+            chunk = order[s:s + bs]
+            if len(chunk) < bs:
+                if drop_remainder:
+                    return
+                pad = np.zeros(bs - len(chunk), np.int64)
+                mask = np.r_[np.ones(len(chunk), bool),
+                             np.zeros(bs - len(chunk), bool)]
+                chunk = np.r_[chunk, pad]
+            else:
+                mask = np.ones(bs, bool)
+            batch = loops.Batch(src=jnp.asarray(events.src[chunk]),
+                                dst=jnp.asarray(events.dst[chunk]),
+                                ts=jnp.asarray(events.ts[chunk]),
+                                eidx=jnp.asarray(events.e_idx[chunk]),
+                                mask=jnp.asarray(mask))
+            from ..data.cache import cache_to_inputs as _cti
+            yield batch, _cti(caches[mode], chunk, n_degree)
+
     # ------------------------------------------------------------------
     def run_eval(exp_params, epoch):
         stats = {k: [] for k in ["aps", "auc", "acc", "fid_prob", "fid_logit",
                                  "r_aps", "r_auc", "r_acc", "r_prob",
                                  "r_logit"]}
         key = jax.random.PRNGKey(1234)
-        for batch in loops.iter_batches(ds.test, args.test_bs, shuffle=False,
-                                        seed=0, drop_remainder=False):
+        if args.use_cache:
+            batches = ((b, inp) for b, inp in batch_with_inputs(
+                ds.test, "test", args.test_bs, False, 0, False))
+        else:
+            batches = ((b, None) for b in loops.iter_batches(
+                ds.test, args.test_bs, shuffle=False, seed=0,
+                drop_remainder=False))
+        for batch, inputs in batches:
             key, sub = jax.random.split(key)
-            out = eval_step(exp_params, sub, batch)
+            if inputs is None:
+                out = eval_step(exp_params, sub, batch)
+            else:
+                out = eval_core(exp_params, batch, *inputs)
             m = np.asarray(batch.mask)
             m2 = np.r_[m, m]
             y_ori = np.asarray(out["y_ori"]).ravel()[m2]
@@ -435,11 +505,20 @@ def main(argv=None):
         agg = {"loss": [], "aps": [], "fid_prob": [], "fid_logit": []}
         n_ev = 0
         tp.start("train")
-        for batch in loops.iter_batches(ds.train, args.bs, shuffle=True,
-                                        seed=args.seed + epoch,
-                                        drop_remainder=True):
-            exp_params, opt_state, key, aux = train_step(
-                exp_params, opt_state, key, batch)
+        if args.use_cache:
+            tbatches = batch_with_inputs(ds.train, "train", args.bs, True,
+                                         args.seed + epoch, True)
+        else:
+            tbatches = ((b, None) for b in loops.iter_batches(
+                ds.train, args.bs, shuffle=True, seed=args.seed + epoch,
+                drop_remainder=True))
+        for batch, inputs in tbatches:
+            if inputs is None:
+                exp_params, opt_state, key, aux = train_step(
+                    exp_params, opt_state, key, batch)
+            else:
+                exp_params, opt_state, key, aux = train_core(
+                    exp_params, opt_state, key, batch, *inputs)
             n_ev += len(batch.src)
             agg["loss"].append(float(aux["loss"]))
             agg["aps"].append(M.average_precision_score(

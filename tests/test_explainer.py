@@ -120,3 +120,108 @@ def test_tempme_forward_shapes():
                        sub, imp, walks, training=False, deterministic=True,
                        method=TempME.retrieve_explanation)
     assert len(expl) == 2 and expl[0].shape == (3 * b, n1)
+
+
+def test_cache_write_read_train_parity(tmp_path):
+    """Offline cache round-trip (VERDICT r1 #5): build_walk_cache ->
+    save -> load -> cache_to_inputs must reproduce the online sampler's
+    outputs exactly (same PRNG contract), and the explainer train step fed
+    from the cache must produce the identical loss as the online path on the
+    same walks. Reference semantics: utils/batch_loader.py:120-242."""
+    import os.path as osp
+    import optax
+    from tempme_tpu.data.cache import (build_walk_cache, cache_to_inputs,
+                                       load_cache, save_cache)
+    from tempme_tpu.data.events import RandEdgeSampler
+    from tempme_tpu.data.graph import build_temporal_graph
+    from tempme_tpu.explain.tempme import (TempME, kl_sparsity_loss,
+                                           make_walk_inputs)
+    from tempme_tpu.ops import sampler as S
+    from tests.conftest import make_events
+
+    events = make_events(120, 20, seed=5)
+    g = build_temporal_graph(events)
+    n_degree, bs = 4, 128
+
+    cache = build_walk_cache(g, events, RandEdgeSampler([events.src],
+                                                        [events.dst], seed=3),
+                             n_degree, batch_size=bs, seed=0)
+    path = osp.join(tmp_path, "cache.npz")
+    save_cache(path, cache)
+    cache2 = load_cache(path)
+    for k in cache:
+        np.testing.assert_array_equal(np.asarray(cache[k]),
+                                      np.asarray(cache2[k]), err_msg=k)
+
+    # reproduce the builder's single-chunk sampling online (same PRNG
+    # contract: key=PRNGKey(seed); key, sub = split(key); ks = split(sub, 6))
+    n = len(events)
+    pad = bs - n
+    src = np.r_[events.src, np.zeros(pad, np.int32)]
+    dst = np.r_[events.dst, np.zeros(pad, np.int32)]
+    ts = np.r_[events.ts, np.zeros(pad, np.float32)]
+    eidx = np.r_[events.e_idx, np.zeros(pad, np.int32)]
+    fake = RandEdgeSampler([events.src], [events.dst], seed=3).sample(bs)[1]
+    _, sub_key = jax.random.split(jax.random.PRNGKey(0))
+    ks = jax.random.split(sub_key, 6)
+    idx = np.arange(n)
+    bgd_c, subs_c, walks_c = cache_to_inputs(cache2, idx, n_degree)
+    np.testing.assert_array_equal(np.asarray(bgd_c), fake[:n])
+
+    online_subs, online_walks = [], []
+    for i, (anchor, e) in enumerate(((src, eidx), (dst, eidx),
+                                     (fake.astype(np.int32), None))):
+        sub = S.find_k_hop(g, ks[2 * i], jnp.asarray(anchor),
+                           jnp.asarray(ts), 2, n_degree,
+                           eids=None if e is None else jnp.asarray(e))
+        walks = S.find_k_walks(g, ks[2 * i + 1], jnp.asarray(anchor), sub,
+                               n_degree, 3)
+        online_subs.append(sub)
+        online_walks.append(make_walk_inputs(walks))
+
+    for side in range(3):
+        for h in range(2):
+            np.testing.assert_array_equal(
+                np.asarray(subs_c[side].nodes[h]),
+                np.asarray(online_subs[side].nodes[h])[:n])
+            np.testing.assert_array_equal(
+                np.asarray(subs_c[side].eids[h]),
+                np.asarray(online_subs[side].eids[h])[:n])
+            np.testing.assert_allclose(
+                np.asarray(subs_c[side].ts[h]),
+                np.asarray(online_subs[side].ts[h])[:n])
+        np.testing.assert_array_equal(np.asarray(walks_c[side].nodes),
+                                      np.asarray(online_walks[side].nodes)[:n])
+        np.testing.assert_array_equal(np.asarray(walks_c[side].eids),
+                                      np.asarray(online_walks[side].eids)[:n])
+        np.testing.assert_array_equal(np.asarray(walks_c[side].cat),
+                                      np.asarray(online_walks[side].cat)[:n])
+        np.testing.assert_allclose(
+            np.asarray(walks_c[side].edge_count),
+            np.asarray(online_walks[side].edge_count)[:n])
+
+    # train-step parity: loss from cached inputs == loss from online inputs
+    dn, de = 8, 6
+    rng = np.random.RandomState(0)
+    from tempme_tpu.models.common import Features
+    feats = Features(
+        node=jnp.asarray(np.r_[np.zeros((1, dn)),
+                               rng.randn(g.num_nodes - 1, dn)].astype(np.float32)),
+        edge=jnp.asarray(np.r_[np.zeros((1, de)),
+                               rng.randn(g.num_edges - 1, de)].astype(np.float32)))
+    explainer = TempME(node_dim=dn, edge_dim=de, out_dim=8, hid_dim=16,
+                       base_type="graphmixer", dropout=0.0)
+    ep = explainer.init({"params": jax.random.PRNGKey(0)}, feats, walks_c[0],
+                        jnp.asarray(ts[:n]), subs_c[0], method=TempME.init_all)
+    null = jnp.full((12,), 1 / 12.0)
+
+    def kl_of(walks):
+        imps = [explainer.apply(ep, feats, w, jnp.asarray(ts[:n]),
+                                deterministic=True) for w in walks]
+        return float(sum(kl_sparsity_loss(imps[i], walks[i].cat, null, 0.3)
+                         for i in range(3)))
+
+    online_trunc = [type(w)(*(jnp.asarray(np.asarray(x)[:n]) for x in w))
+                    for w in online_walks]
+    np.testing.assert_allclose(kl_of(list(walks_c)), kl_of(online_trunc),
+                               rtol=1e-6)

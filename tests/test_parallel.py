@@ -246,3 +246,43 @@ def test_sharded_explainer_step_runs():
              for i in range(3))
     loss1 = float(pred_loss + 0.5 * kl)
     np.testing.assert_allclose(loss1, float(loss8), rtol=5e-4, atol=1e-6)
+
+
+def test_sharded_memory_routing_matches_sequential():
+    """TGN memory-row routing under a sharded memory table at dp>1 must
+    reproduce the sequential last-message-wins semantics: the full memory
+    state after a sharded step equals the unsharded step's state
+    (VERDICT r1 missing#3; reference semantics
+    TGN/modules/message_aggregator.py:34-55)."""
+    import optax
+    from tempme_tpu.parallel.train import make_sharded_tgn_train_step
+    from tempme_tpu.train import loops
+    from tempme_tpu.train.learn_tgn import make_tgn_train_step
+
+    ev, g, feats, model, mem, batch, params, key = _tgn_setup(
+        dn=16, de=8, b=8, n=8)
+    # duplicate nodes across batch positions to exercise the last-wins path
+    src = jnp.asarray(np.array([5, 5, 7, 9, 5, 7, 9, 9], np.int32))
+    dst = jnp.asarray(np.array([6, 8, 5, 6, 6, 6, 6, 5], np.int32))
+    batch = loops.Batch(src=src, dst=dst, ts=batch.ts, eidx=batch.eidx,
+                        mask=batch.mask)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    dst_table = jnp.asarray(np.unique(ev.dst))
+
+    step1 = make_tgn_train_step(model, g, feats, dst_table, 8, optimizer)
+    _, mem1, _ = step1(loops.TrainState(params, opt_state, key), mem, batch)
+
+    mesh = M.make_mesh(4, 2, 1)       # dp=4: batch split across devices
+    with mesh:
+        step8, place, place_batch = make_sharded_tgn_train_step(
+            model, g, feats, dst_table, 8, optimizer, mesh)
+        p8, o8, m8, k8 = place(params, opt_state, mem, key)
+        b8 = place_batch(batch)
+        _, _, mem8, _, _ = step8(p8, o8, m8, k8, b8)
+
+    for name in mem1._fields:
+        a = np.asarray(getattr(mem1, name))
+        b = np.asarray(getattr(mem8, name))
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"memory field {name}")
