@@ -7,8 +7,10 @@ temp_exp_main.py:101-150) as one canonical module:
   ``ml_{name}.csv`` / ``ml_{name}.npy`` / ``ml_{name}_node.npy`` layout,
 * 70/15/15 quantile time split,
 * 10% of nodes seen after ``val_time`` are masked out of training
-  ("new node" inductive set), chosen with ``random.seed(2023)`` exactly as the
-  reference does so the split is bit-identical.
+  ("new node" inductive set), chosen with the reference's seed-2023 sampler
+  over an explicitly *sorted* candidate list — deterministic, but not
+  bit-identical to the reference, whose candidate order depends on CPython
+  set iteration order (documented deviation below at ``temporal_split``).
 """
 from __future__ import annotations
 
@@ -201,14 +203,22 @@ def compute_time_statistics(events: EventStream
     initialised to 0, tracked separately for source and destination roles.
     Returns ``((mean_src, mean_dst), (std_src, std_dst))``.
     """
-    n = max(events.num_nodes, 1)
     diffs = []
+    ts = events.ts.astype(np.float64)
     for nodes in (events.src, events.dst):
-        last = np.zeros(n, np.float64)
-        d = np.empty(len(events), np.float64)
-        for k in range(len(events)):
-            d[k] = events.ts[k] - last[nodes[k]]
-            last[nodes[k]] = events.ts[k]
+        # vectorized per-node gap computation: stable-sort events by node,
+        # diff timestamps within each node's group (first event per node
+        # diffs against 0, the reference's last_ts init)
+        order = np.argsort(nodes, kind="stable")
+        sn, st = nodes[order], ts[order]
+        d_sorted = np.empty(len(st), np.float64)
+        if len(st):
+            first = np.r_[True, sn[1:] != sn[:-1]]
+            d_sorted[first] = st[first]            # gap vs last_ts = 0
+            rest = np.flatnonzero(~first)
+            d_sorted[rest] = st[rest] - st[rest - 1]
+        d = np.empty(len(st), np.float64)
+        d[order] = d_sorted
         diffs.append(d)
     return ((float(diffs[0].mean()), float(diffs[1].mean())),
             (float(max(diffs[0].std(), 1e-9)), float(max(diffs[1].std(), 1e-9))))

@@ -79,8 +79,9 @@ class TGAT(nn.Module):
     * ``attn_mode``: "prod" | "map" (AttnModel's score mode,
       TGAT/TGAT.py:99-106,140-218), only meaningful for agg_method="attn";
     * ``use_time``: "time" | "pos" | "empty" (``init_time_encoder``,
-      TGAT/TGAT.py:435-445); "pos" needs ``pos_seq_len`` >= the widest
-      support level (n^num_layers).
+      TGAT/TGAT.py:435-445); "pos" ranks neighbors within each parent's
+      n-wide group (original TGAT semantics), so ``pos_seq_len`` only needs
+      to be >= n_degree.
 
     The default prod path runs the TPU-optimized split-projection attention;
     the variants share a raw-feature pyramid (``_node_embed_raw``) kept for
@@ -146,7 +147,15 @@ class TGAT(nn.Module):
         standard = cut_time[:, None]                       # parent timestamps
         for t_rec in sub.ts:
             delta = standard[:, :, None] - t_rec.reshape(b, -1, n)
-            feats.append(self.time_encoder(delta.reshape(b, -1)))
+            if self.use_time == "pos":
+                # positional ranks are per-parent neighbor groups of width n
+                # (original TGAT semantics; the fork's flattened call would
+                # rank across parents AND index past seq_len=n_degree —
+                # ADVICE r2 medium). Encode [b*n^h, n] rows, then flatten.
+                enc = self.time_encoder(delta.reshape(-1, n))
+                feats.append(enc.reshape(b, -1, enc.shape[-1]))
+            else:
+                feats.append(self.time_encoder(delta.reshape(b, -1)))
             standard = t_rec
         return feats
 

@@ -165,9 +165,12 @@ class MapAttnLayer(nn.Module):
         zero_e = jnp.zeros((bq, 1, self.edge_dim), src.dtype)
         q = jnp.concatenate([src[:, None, :], zero_e, src_t], axis=-1)
         k = jnp.concatenate([seq, seq_e, seq_t], axis=-1)
+        # d_k = d_model // n_head matches the reference parameter shapes
+        # (TGAT/TGAT.py:347-352); the output projection maps n_head*d_k back
+        # to d_model, so truncation only affects capacity, not shape flow
         attn = MapBasedTemporalAttention(
             n_head=self.n_head, d_model=d_model,
-            d_k=-(-d_model // self.n_head), dropout=self.dropout,
+            d_k=max(d_model // self.n_head, 1), dropout=self.dropout,
             name="map_attn")
         out, attn_w = attn(q, k, mask=mask, explain_weight=explain_weight,
                            deterministic=deterministic)

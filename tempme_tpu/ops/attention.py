@@ -30,6 +30,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -39,11 +40,19 @@ xavier_normal = nn.initializers.xavier_normal()
 def _attend(qh, kh, vh, mask, explain_weight, drop_fn, deterministic,
             b, nq, n, h, dk):
     from .pallas import kernels as pk
-    if pk.enabled() and (deterministic or drop_fn.rate == 0.0):
-        # Fused Pallas path (no attention dropout to apply): one VMEM pass
-        # for score/mask/softmax/explain-weight/value-sum.
+    apply_drop = (not deterministic) and drop_fn.rate > 0.0
+    if pk.enabled():
+        # Fused Pallas path: one VMEM pass for score/mask/softmax/
+        # [dropout]/explain-weight/value-sum. Training dropout draws come
+        # from the module's 'dropout' stream and are shared with the
+        # rematerialized backward (kernels._attend_core_drop).
+        drop_u = None
+        if apply_drop:
+            drop_u = jax.random.uniform(drop_fn.make_rng("dropout"),
+                                        (b, nq, h, n))
         return pk.fused_attend(qh, kh, vh, mask, explain_weight,
-                               1.0 / np.sqrt(dk))
+                               1.0 / np.sqrt(dk), drop_u,
+                               drop_fn.rate if apply_drop else 0.0)
     scores = jnp.einsum("bqhd,bqnhd->bqhn", qh, kh,
                         preferred_element_type=jnp.float32)
     scores = scores / np.sqrt(dk).astype(np.float32)
@@ -88,7 +97,7 @@ class TemporalMultiHeadAttention(nn.Module):
                             b, nq, n, h, dk)
         out = nn.Dense(self.d_model, kernel_init=xavier_normal, name="fc")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        out = nn.LayerNorm(name="ln")(out + q)
+        out = nn.LayerNorm(epsilon=1e-5, name="ln")(out + q)
         return out, attn.reshape(b, nq, h, n)
 
 
@@ -131,7 +140,7 @@ class SplitTemporalAttention(nn.Module):
         self.wv_time = dense("wv_time")
         self.fc = nn.Dense(self.d_model, kernel_init=xavier_normal,
                            dtype=self.compute_dtype, name="fc")
-        self.ln = nn.LayerNorm(name="ln")
+        self.ln = nn.LayerNorm(epsilon=1e-5, name="ln")
         self.drop = nn.Dropout(self.dropout)
 
     # -- table / direct projections ------------------------------------

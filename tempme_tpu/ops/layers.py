@@ -77,14 +77,14 @@ class MixerBlock(nn.Module):
         # x: [B, tokens, channels]; explain_weights: [B, tokens]
         if explain_weights is not None:
             x = x * explain_weights[..., None]
-        h = nn.LayerNorm(name="token_norm")(jnp.swapaxes(x, 1, 2))
+        h = nn.LayerNorm(epsilon=1e-5, name="token_norm")(jnp.swapaxes(x, 1, 2))
         h = FeedForward(self.num_tokens, self.token_expansion, self.dropout,
                         name="token_ffn")(h, deterministic)
         h = jnp.swapaxes(h, 1, 2)
         if explain_weights is not None:
             h = h * explain_weights[..., None]
         x = h + x
-        h = nn.LayerNorm(name="channel_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="channel_norm")(x)
         h = FeedForward(self.num_channels, self.channel_expansion, self.dropout,
                         name="channel_ffn")(h, deterministic)
         if explain_weights is not None:

@@ -64,8 +64,16 @@ def make_sharded_tgn_train_step(model: TGN, g: TemporalGraph,
     @jax.jit
     def step(params, opt_state, mem, key, batch: loops.Batch):
         new_key, k_samp, k_drop = jax.random.split(key, 3)
+        # padded rows (drop_remainder=False multihost batches) route to the
+        # padding node and are excluded from the loss (ADVICE r2)
+        batch = loops.mask_batch_nodes(batch)
+        # use_eidx=False: the TGN base path cuts history at the batch
+        # timestamp (TGN/tgn.py:283-284 passes e_idx_l=None), matching
+        # learn_tgn.make_tgn_train_step — with the default e-path cut the
+        # sharded step would sample different supports than the sequential
+        # step and store different raw messages (round-2 msg_buf divergence).
         bgd, s_src, s_tgt, s_bgd = loops.sample_support(
-            g, k_samp, batch, dst_table, model.n_layers, n)
+            g, k_samp, batch, dst_table, model.n_layers, n, use_eidx=False)
         s_src = constrain_support(s_src, mesh)
         s_tgt = constrain_support(s_tgt, mesh)
         s_bgd = constrain_support(s_bgd, mesh)
@@ -75,14 +83,17 @@ def make_sharded_tgn_train_step(model: TGN, g: TemporalGraph,
                 ps, feats, mem, batch.src, batch.dst, bgd, batch.ts,
                 batch.eidx, s_src, s_tgt, s_bgd, deterministic=False,
                 rngs={"dropout": k_drop}, method=TGN.contrast)
-            loss = (loops.bce_with_logits(pos, jnp.ones_like(pos))
-                    + loops.bce_with_logits(neg, jnp.zeros_like(neg)))
+            loss = (loops.masked_bce_with_logits(
+                        pos, jnp.ones(pos.shape[0]), batch.mask)
+                    + loops.masked_bce_with_logits(
+                        neg, jnp.zeros(neg.shape[0]), batch.mask))
             return loss, new_mem
 
         (loss, new_mem), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
         updates, opt_state2 = optimizer.update(grads, opt_state, params)
         params2 = optax.apply_updates(params, updates)
+        new_mem = loops.scrub_padding_row(new_mem)
         return params2, opt_state2, new_mem, new_key, loss
 
     return step, place, place_batch

@@ -72,23 +72,24 @@ def eval_checkpoint(args):
     return test
 
 
-def build_model(base_type: str, node_dim: int, edge_dim: int, args):
-    if base_type == "tgat":
+def build_model(mc, node_dim: int, edge_dim: int):
+    """Base model from a ModelConfig (the single config source, SURVEY §5.6)."""
+    if mc.base_type == "tgat":
         from ..models.tgat import TGAT
-        pos_len = max(64, args.n_degree ** args.n_layer)
+        # 'pos' ranks per-parent n-wide groups, so n_degree suffices
+        pos_len = max(64, mc.n_degree)
         return TGAT(node_dim=node_dim, edge_dim=edge_dim,
-                    num_layers=args.n_layer, n_head=args.n_head,
-                    dropout=args.drop_out,
-                    agg_method=getattr(args, "agg_method", "attn"),
-                    attn_mode=getattr(args, "attn_mode", "prod"),
-                    use_time=getattr(args, "use_time", "time"),
-                    pos_seq_len=pos_len), args.n_layer
-    if base_type == "graphmixer":
+                    num_layers=mc.n_layers, n_head=mc.n_heads,
+                    dropout=mc.dropout, agg_method=mc.agg_method,
+                    attn_mode=mc.attn_mode, use_time=mc.use_time,
+                    pos_seq_len=pos_len), mc.n_layers
+    if mc.base_type == "graphmixer":
         from ..models.graphmixer import GraphMixer
         return GraphMixer(node_dim=node_dim, edge_dim=edge_dim,
-                          num_tokens=args.n_degree, num_layers=args.n_layer,
-                          dropout=args.drop_out), 2
-    raise ValueError(f"unknown base_type {base_type} (tgn uses learn_tgn path)")
+                          num_tokens=mc.n_degree, num_layers=mc.n_layers,
+                          dropout=mc.dropout), 2
+    raise ValueError(
+        f"unknown base_type {mc.base_type} (tgn uses learn_tgn path)")
 
 
 def evaluate(eval_step, params, events, batch_size, seed=0):
@@ -111,59 +112,32 @@ def evaluate(eval_step, params, events, batch_size, seed=0):
 
 
 def main(argv=None):
+    from ..config import add_common_args, add_model_args, config_from_args
     p = argparse.ArgumentParser("tempme_tpu base-model training")
-    p.add_argument("--base_type", type=str, default="tgat")
-    p.add_argument("-d", "--data", type=str, default="uslegis_sampled")
-    p.add_argument("--data_dir", type=str,
-                   default=os.environ.get("TEMPME_DATA_DIR",
-                                          "/root/reference/processed"))
-    p.add_argument("--bs", type=int, default=256)
-    p.add_argument("--n_degree", type=int, default=0,
-                   help="0 = per-dataset default")
-    p.add_argument("--n_head", type=int, default=2)
-    p.add_argument("--n_epoch", type=int, default=20)
-    p.add_argument("--n_layer", type=int, default=3)
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--drop_out", type=float, default=0.1)
-    p.add_argument("--seed", type=int, default=0)
+    add_common_args(p, bs=256, n_epoch=20, lr=1e-3)
+    add_model_args(p)
     p.add_argument("--out_dir", type=str, default="params/tgnn")
-    p.add_argument("--log_dir", type=str, default="tb_logs")
-    p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--eval_only", action="store_true",
                    help="evaluate the saved checkpoint on the test split")
     p.add_argument("--resume", action="store_true",
                    help="continue from the .train_state checkpoint if present "
                         "(params + optimizer + RNG + early-stop state)")
-    # TGN module variants (reference TGN/modules/* factories)
-    p.add_argument("--memory_updater", choices=["gru", "rnn"], default="gru")
-    p.add_argument("--aggregator", choices=["last", "mean"], default="last")
-    p.add_argument("--message_function", choices=["mlp", "identity"],
-                   default="mlp")
-    p.add_argument("--embedding_module",
-                   choices=["graph_attention", "identity", "time"],
-                   default="graph_attention")
-    # TGAT variants (reference TGAT/TGAT.py:435-460 factories)
-    p.add_argument("--agg_method", choices=["attn", "lstm", "mean"],
-                   default="attn")
-    p.add_argument("--attn_mode", choices=["prod", "map"], default="prod")
-    p.add_argument("--use_time", choices=["time", "pos", "empty"],
-                   default="time")
     args = p.parse_args(argv)
-    if args.n_degree == 0:
-        args.n_degree = DEGREE_DICT.get(args.data, 20)
+    cfg = config_from_args(args)
+    args.n_degree = cfg.model.n_degree    # downstream paths (tgn/eval) share it
     if args.eval_only:
         return eval_checkpoint(args)
     if args.base_type == "tgn":
         from .learn_tgn import main as tgn_main
-        return tgn_main(args)
+        return tgn_main(args, cfg)
 
     ds = load_dataset(args.data, args.data_dir)
     g_train = build_temporal_graph(ds.train, ds.full.num_nodes, ds.full.num_edges)
     g_full = build_temporal_graph(ds.full, ds.full.num_nodes, ds.full.num_edges)
     feats = Features(node=jnp.asarray(ds.node_feat), edge=jnp.asarray(ds.edge_feat))
 
-    model, k = build_model(args.base_type, ds.node_feat.shape[1],
-                           ds.edge_feat.shape[1], args)
+    model, k = build_model(cfg.model, ds.node_feat.shape[1],
+                           ds.edge_feat.shape[1])
     train_sampler = RandEdgeSampler([ds.train.src], [ds.train.dst])
     test_sampler = RandEdgeSampler([ds.train.src, ds.val.src, ds.test.src],
                                    [ds.train.dst, ds.val.dst, ds.test.dst])
@@ -251,9 +225,10 @@ def main(argv=None):
                         node_dim=ds.node_feat.shape[1],
                         edge_dim=ds.edge_feat.shape[1])
             if args.base_type == "tgat":
-                meta.update(agg_method=args.agg_method,
-                            attn_mode=args.attn_mode, use_time=args.use_time,
-                            pos_seq_len=max(64, args.n_degree ** k))
+                meta.update(agg_method=cfg.model.agg_method,
+                            attn_mode=cfg.model.attn_mode,
+                            use_time=cfg.model.use_time,
+                            pos_seq_len=max(64, cfg.model.n_degree))
             save_params(ckpt_path, state.params, meta=meta)
             print(f"  saved best checkpoint -> {ckpt_path} "
                   f"(ap={best['ap']:.4f})")

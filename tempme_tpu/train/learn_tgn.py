@@ -25,6 +25,9 @@ def make_tgn_train_step(model, g_train, feats, dst_table, n, optimizer):
     @jax.jit
     def step(state: loops.TrainState, mem, batch: loops.Batch):
         key, k_samp, k_drop = jax.random.split(state.key, 3)
+        # padded rows (drop_remainder=False) route to the padding node so
+        # they cannot store real messages; row 0 is scrubbed below
+        batch = loops.mask_batch_nodes(batch)
         # e-path off: TGN.grab_subgraph hard-codes e_idx_l=None
         # (TGN/tgn.py:283-284), same as the TGAT/GraphMixer base paths
         bgd, s_src, s_tgt, s_bgd = loops.sample_support(
@@ -36,8 +39,10 @@ def make_tgn_train_step(model, g_train, feats, dst_table, n, optimizer):
                 params, feats, mem, batch.src, batch.dst, bgd, batch.ts,
                 batch.eidx, s_src, s_tgt, s_bgd, deterministic=False,
                 rngs={"dropout": k_drop}, method=TGN.contrast)
-            loss = (loops.bce_with_logits(pos, jnp.ones_like(pos))
-                    + loops.bce_with_logits(neg, jnp.zeros_like(neg)))
+            loss = (loops.masked_bce_with_logits(
+                        pos, jnp.ones(pos.shape[0]), batch.mask)
+                    + loops.masked_bce_with_logits(
+                        neg, jnp.zeros(neg.shape[0]), batch.mask))
             return loss, (pos, neg, new_mem)
 
         (loss, (pos, neg, new_mem)), grads = jax.value_and_grad(
@@ -45,6 +50,7 @@ def make_tgn_train_step(model, g_train, feats, dst_table, n, optimizer):
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
+        new_mem = loops.scrub_padding_row(new_mem)
         # detach_memory (learn_base.py:239-240) is implicit: new_mem leaves the
         # jit region as values.
         return (loops.TrainState(params, opt_state, key), new_mem,
@@ -56,12 +62,14 @@ def make_tgn_train_step(model, g_train, feats, dst_table, n, optimizer):
 def make_tgn_eval_step(model, g_full, feats, dst_table, n):
     @jax.jit
     def step(params, mem, key, batch: loops.Batch):
+        batch = loops.mask_batch_nodes(batch)
         bgd, s_src, s_tgt, s_bgd = loops.sample_support(
             g_full, key, batch, dst_table, model.n_layers, n, use_eidx=False)
         (pos, neg), new_mem = model.apply(
             params, feats, mem, batch.src, batch.dst, bgd, batch.ts,
             batch.eidx, s_src, s_tgt, s_bgd, deterministic=True,
             method=TGN.contrast)
+        new_mem = loops.scrub_padding_row(new_mem)
         return pos.squeeze(-1), neg.squeeze(-1), new_mem
 
     return step
@@ -88,23 +96,26 @@ def evaluate_tgn(eval_step, params, mem, events, batch_size, seed=0):
                 acc=M.accuracy_score(l, s, mask=m))
 
 
-def main(args):
-    ds = load_dataset(args.data, args.data_dir)
+def main(args, cfg=None):
+    if cfg is None:
+        from ..config import config_from_args
+        cfg = config_from_args(args)
+    mc = cfg.model
+    ds = load_dataset(cfg.data.name, args.data_dir)
     g_train = build_temporal_graph(ds.train, ds.full.num_nodes, ds.full.num_edges)
     g_full = build_temporal_graph(ds.full, ds.full.num_nodes, ds.full.num_edges)
     feats = Features(node=jnp.asarray(ds.node_feat), edge=jnp.asarray(ds.edge_feat))
 
     mean_shift, std_shift = (0.0, 0.0), (1.0, 1.0)
-    if getattr(args, "embedding_module", "graph_attention") == "time":
+    if mc.embedding_module == "time":
         mean_shift, std_shift = compute_time_statistics(ds.train)
     model = TGN(node_dim=ds.node_feat.shape[1], edge_dim=ds.edge_feat.shape[1],
-                num_nodes=ds.full.num_nodes, n_layers=2, n_head=args.n_head,
-                dropout=args.drop_out,
-                memory_updater=getattr(args, "memory_updater", "gru"),
-                aggregator=getattr(args, "aggregator", "last"),
-                message_function=getattr(args, "message_function", "mlp"),
-                embedding_type=getattr(args, "embedding_module",
-                                       "graph_attention"),
+                num_nodes=ds.full.num_nodes, n_layers=2, n_head=mc.n_heads,
+                dropout=mc.dropout,
+                memory_updater=mc.memory_updater,
+                aggregator=mc.aggregator,
+                message_function=mc.message_function,
+                embedding_type=mc.embedding_module,
                 mean_time_shift=mean_shift, std_time_shift=std_shift)
     mem = init_memory_state(ds.full.num_nodes, model.memory_dim,
                             model.raw_message_dim)

@@ -37,6 +37,41 @@ def bce_with_logits(logits, labels):
     return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
 
 
+def masked_bce_with_logits(logits, labels, mask):
+    """BCE averaged over valid rows only (padded final batches)."""
+    per = optax.sigmoid_binary_cross_entropy(logits.squeeze(-1), labels)
+    m = mask.astype(per.dtype)
+    return (per * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+def mask_batch_nodes(batch: "Batch") -> "Batch":
+    """Remap padded rows to the reserved padding ids (node 0 / edge 0) so a
+    stateful consumer (TGN memory) routes their stores to row 0, which
+    ``scrub_padding_row`` then clears. Without this, a drop_remainder=False
+    final batch would scatter duplicate real messages into memory
+    (ADVICE r2: iter_global_batches pads with index 0 = the first real
+    event)."""
+    m = batch.mask
+    z = jnp.zeros((), batch.src.dtype)
+    return Batch(src=jnp.where(m, batch.src, z),
+                 dst=jnp.where(m, batch.dst, z),
+                 ts=jnp.where(m, batch.ts, jnp.zeros((), batch.ts.dtype)),
+                 eidx=jnp.where(m, batch.eidx, z),
+                 mask=m)
+
+
+def scrub_padding_row(mem):
+    """Clear TGN memory row 0 (the padding node). Padding stores are routed
+    there by ``mask_batch_nodes``; the row must stay identically zero so
+    padded support positions keep zero keys/values."""
+    return mem._replace(
+        memory=mem.memory.at[0].set(0.0),
+        last_update=mem.last_update.at[0].set(0.0),
+        msg_buf=mem.msg_buf.at[0].set(0.0),
+        msg_ts=mem.msg_ts.at[0].set(0.0),
+        msg_valid=mem.msg_valid.at[0].set(False))
+
+
 def sample_support(g: TemporalGraph, key, batch: Batch, dst_table: jnp.ndarray,
                    k: int, n: int, use_eidx: bool = True):
     """Negatives + 3x k-hop subgraphs, all on device.

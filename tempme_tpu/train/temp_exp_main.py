@@ -162,28 +162,16 @@ def mask_supports_for_ratios(explanation, subs, ratios, n_degree, base_type):
 
 
 def main(argv=None):
+    from ..config import (add_common_args, add_explainer_args,
+                          config_from_args)
     p = argparse.ArgumentParser("tempme_tpu explainer training")
+    add_common_args(p, bs=100, n_epoch=10, lr=1e-3)
+    add_explainer_args(p)
     p.add_argument("--base_type", type=str, default="tgn")
-    p.add_argument("-d", "--data", type=str, default="uslegis_sampled")
-    p.add_argument("--data_dir", type=str,
-                   default=os.environ.get("TEMPME_DATA_DIR",
-                                          "/root/reference/processed"))
-    p.add_argument("--bs", type=int, default=100)
     p.add_argument("--test_bs", type=int, default=100)
-    p.add_argument("--n_epoch", type=int, default=10)
-    p.add_argument("--out_dim", type=int, default=40)
-    p.add_argument("--hid_dim", type=int, default=64)
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--drop_out", type=float, default=0.1)
-    p.add_argument("--prior_p", type=float, default=0.3)
-    p.add_argument("--beta", type=float, default=0.5)
-    p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--if_bern", type=int, default=1)
     p.add_argument("--test_threshold", type=int, default=1)
-    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--ckpt_dir", type=str, default="params")
-    p.add_argument("--log_dir", type=str, default="tb_logs")
-    p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--eval_only", action="store_true",
                    help="load the saved explainer checkpoint and run the full "
                         "eval protocol once (no training)")
@@ -196,7 +184,8 @@ def main(argv=None):
                         "(temp_exp_main.py:705-714)")
     p.add_argument("--cache_dir", type=str, default="cache")
     args = p.parse_args(argv)
-    ratios = DEFAULT_RATIOS
+    cfg = config_from_args(args)
+    ratios = cfg.explainer.ratios
 
     ds = load_dataset(args.data, args.data_dir)
     g_train = build_temporal_graph(ds.train, ds.full.num_nodes, ds.full.num_edges)

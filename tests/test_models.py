@@ -402,3 +402,55 @@ def test_tgat_pool_variants_reject_explain_weights(setup):
             model.apply(params, feats, src, dst, dst, ts, *subs,
                         explain_weights=((ones, ones), (ones, ones)),
                         deterministic=True, method=TGAT.contrast)
+
+
+def test_tgn_padded_batch_does_not_pollute_memory():
+    """A drop_remainder=False final batch (mask=False padded rows pointing at
+    the dataset's first events) must leave memory exactly as a truncated batch
+    would: padded stores route to the padding node and row 0 is scrubbed
+    (ADVICE r2: multihost padding hazard)."""
+    import optax
+    import __graft_entry__ as ge
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    from tempme_tpu.train import loops
+    from tempme_tpu.train.learn_tgn import make_tgn_train_step
+
+    ev, g, feats = ge._tiny_setup(dn=16, de=8)
+    b, n = 8, 4
+    model = TGN(node_dim=16, edge_dim=8, num_nodes=g.num_nodes,
+                n_layers=2, n_head=2, dropout=0.0,
+                compute_dtype=jnp.float32)
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    r = np.random.RandomState(3)
+    src = r.randint(1, 32, b).astype(np.int32)
+    dst = r.randint(1, 32, b).astype(np.int32)
+    ts = np.full(b, float(ev.ts.max()) + 1, np.float32)
+    eidx = r.randint(1, len(ev), b).astype(np.int32)
+    # batch with 3 padded rows duplicating REAL events (the hazard)
+    mask = np.r_[np.ones(5, bool), np.zeros(3, bool)]
+    src[5:], dst[5:], eidx[5:] = ev.src[0], ev.dst[0], ev.e_idx[0]
+    padded = loops.Batch(*(jnp.asarray(x) for x in (src, dst, ts, eidx, mask)))
+
+    key = jax.random.PRNGKey(0)
+    from tempme_tpu.ops import sampler as S
+    subs = tuple(S.find_k_hop(g, jax.random.fold_in(key, i),
+                              padded.src, padded.ts, 2, n)
+                 for i in range(3))
+    params = model.init({"params": key, "dropout": key}, feats, mem,
+                        padded.src, padded.dst, padded.dst, padded.ts,
+                        padded.eidx, *subs, deterministic=True)
+    optimizer = optax.adam(1e-3)
+    dst_table = jnp.asarray(np.unique(ev.dst))
+    step = make_tgn_train_step(model, g, feats, dst_table, n, optimizer)
+    state = loops.TrainState(params, optimizer.init(params), key)
+    _, mem_pad, _ = step(state, mem, padded)
+
+    # padded rows' nodes must have stored nothing
+    for node in (int(ev.src[0]), int(ev.dst[0])):
+        if node not in set(src[:5]) | set(dst[:5]):
+            assert not bool(np.asarray(mem_pad.msg_valid)[node]), node
+    # padding row 0 scrubbed
+    assert not bool(np.asarray(mem_pad.msg_valid)[0])
+    np.testing.assert_array_equal(np.asarray(mem_pad.msg_buf[0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(mem_pad.memory[0]), 0.0)

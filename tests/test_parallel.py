@@ -23,8 +23,31 @@ def test_mesh_axes():
 
 
 def test_dryrun_multichip_runs():
-    import __graft_entry__ as ge
-    ge.dryrun_multichip(8)
+    """Run the driver-contract dryrun in a fresh subprocess (exactly how the
+    driver invokes it; in-process it shares this session's XLA CPU state with
+    dozens of prior compilations, which can abort on allocation)."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, os.path.join(root, "__graft_entry__.py"), "8"],
+            capture_output=True, text=True, timeout=850, cwd=root, env=env)
+        if out.returncode == 0:
+            break
+        # XLA CPU collectives have a hard 40s rendezvous timeout; under heavy
+        # machine load the 8 device threads can miss it and abort
+        # (rendezvous.cc). One retry distinguishes that scheduling flake from
+        # a real failure.
+        if "rendezvous" not in out.stderr.lower():
+            break
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "memory parity vs 1-device" in out.stdout, out.stdout
 
 
 def test_sharded_matches_unsharded():
@@ -248,11 +271,13 @@ def test_sharded_explainer_step_runs():
     np.testing.assert_allclose(loss1, float(loss8), rtol=5e-4, atol=1e-6)
 
 
-def test_sharded_memory_routing_matches_sequential():
+@pytest.mark.parametrize("shape", [(8, 1, 1), (1, 8, 1), (4, 2, 1),
+                                   (2, 2, 2)])
+def test_sharded_memory_routing_matches_sequential(shape):
     """TGN memory-row routing under a sharded memory table at dp>1 must
     reproduce the sequential last-message-wins semantics: the full memory
-    state after a sharded step equals the unsharded step's state
-    (VERDICT r1 missing#3; reference semantics
+    state after a sharded step equals the unsharded step's state, on every
+    mesh decomposition (VERDICT r1 missing#3 / r2 weak#1; reference semantics
     TGN/modules/message_aggregator.py:34-55)."""
     import optax
     from tempme_tpu.parallel.train import make_sharded_tgn_train_step
@@ -273,7 +298,7 @@ def test_sharded_memory_routing_matches_sequential():
     step1 = make_tgn_train_step(model, g, feats, dst_table, 8, optimizer)
     _, mem1, _ = step1(loops.TrainState(params, opt_state, key), mem, batch)
 
-    mesh = M.make_mesh(4, 2, 1)       # dp=4: batch split across devices
+    mesh = M.make_mesh(*shape)
     with mesh:
         step8, place, place_batch = make_sharded_tgn_train_step(
             model, g, feats, dst_table, 8, optimizer, mesh)
@@ -281,8 +306,12 @@ def test_sharded_memory_routing_matches_sequential():
         b8 = place_batch(batch)
         _, _, mem8, _, _ = step8(p8, o8, m8, k8, b8)
 
+    # tp>1 accumulates matmul partials via psum in a different order, so the
+    # stored embeddings carry reduction-order noise; routing identity (which
+    # rows/winners/timestamps) stays exact.
+    rtol, atol = (1e-5, 1e-6) if shape[2] == 1 else (5e-4, 1e-5)
     for name in mem1._fields:
         a = np.asarray(getattr(mem1, name))
         b = np.asarray(getattr(mem8, name))
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6,
-                                   err_msg=f"memory field {name}")
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol,
+                                   err_msg=f"memory field {name} on {shape}")
