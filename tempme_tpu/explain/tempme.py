@@ -205,13 +205,14 @@ class TempME(nn.Module):
 
     # ------------------------------------------------------------------
     def _walk_features(self, feats: Features, walks: Walks, cut_time):
-        e_feat = feats.edge[walks.eids]                 # [B, W, 3, De]
+        from ..ops.gather import gather_rows
+        e_feat = gather_rows(feats.edge, walks.eids)    # [B, W, 3, De]
         t_rec = walks.ts
         delta = t_rec[..., -1:] - t_rec                 # Δt vs newest event
         t_feat = self.time_encoder(delta)               # [B, W, 3, Dt]
         event = jnp.concatenate([e_feat, walks.edge_count, t_feat], axis=-1)
-        src_feat = feats.node[walks.nodes[..., 0::2]]   # cols 0,2,4
-        tgt_feat = feats.node[walks.nodes[..., 1::2]]   # cols 1,3,5
+        src_feat = gather_rows(feats.node, walks.nodes[..., 0::2])
+        tgt_feat = gather_rows(feats.node, walks.nodes[..., 1::2])
         return event, src_feat, tgt_feat
 
     def __call__(self, feats: Features, walks: Walks, cut_time,

@@ -62,7 +62,8 @@ class GraphMixer(nn.Module):
         if explain_weights is not None:
             exp = jnp.where(pad, 0.0, explain_weights)
 
-        e_feat = feats.edge[eid] if edge_attr is None else edge_attr
+        from ..ops.gather import gather_rows
+        e_feat = gather_rows(feats.edge, eid) if edge_attr is None else edge_attr
         t_feat = self.time_encoder(cut_time[:, None] - ts)
         t_feat = jnp.where(pad[..., None], 0.0, t_feat)
         if edge_attr is None:
@@ -78,7 +79,7 @@ class GraphMixer(nn.Module):
 
         # node-feature branch: uniform softmax over valid neighbors
         # (GraphM/graphmixer.py:183-191)
-        ngh_node_feat = feats.node[ngh]          # [B, n, Dn]
+        ngh_node_feat = gather_rows(feats.node, ngh)      # [B, n, Dn]
         valid = jnp.where(ngh > 0, 0.0, -1e10)
         scores = nn.softmax(valid, axis=1)
         if exp is not None:

@@ -21,6 +21,7 @@ from flax import linen as nn
 from ..ops.aggregators import LSTMPool, MapAttnLayer, MeanPool
 from ..ops.attention import SplitTemporalAttention
 from ..ops.encodings import make_time_encoder
+from ..ops.gather import gather_rows
 from ..ops.layers import GatedMerge, ConcatMerge
 from ..ops.sampler import Subgraph
 from .common import Features
@@ -206,7 +207,6 @@ class TGAT(nn.Module):
         node_levels = [src[:, None]] + list(sub.nodes)
         masks = [nodes == 0 for nodes in sub.nodes]
         tfeat = self._time_features(cut_time, sub, n)
-        num_edges = feats.edge.shape[0]
 
         l = self.num_layers
         hidden = None                       # None => levels hold raw features
@@ -214,25 +214,20 @@ class TGAT(nn.Module):
             lay = self.attn_layers[layer]
             if hidden is None:
                 k_tab, v_tab = lay.project_node_table(feats.node)
-            # edge projections shared across levels of this layer
-            use_edge_table = max(x.size for x in sub.eids[:l - layer]) \
-                > num_edges
-            if use_edge_table:
-                ek_tab, ev_tab = lay.project_edge_table(feats.edge)
             new_hidden = []
             for i in range(l - layer):
                 if hidden is None:
-                    q_node = feats.node[node_levels[i]]
-                    k_nv = k_tab[node_levels[i + 1]]
-                    v_nv = v_tab[node_levels[i + 1]]
+                    q_node = gather_rows(feats.node, node_levels[i])
+                    # one-hot matmul gather (PERF.md: row gathers are
+                    # DMA-descriptor-bound on TPU)
+                    k_nv = gather_rows(k_tab, node_levels[i + 1])
+                    v_nv = gather_rows(v_tab, node_levels[i + 1])
                 else:
                     q_node = hidden[i]
                     k_nv, v_nv = lay.project_node(hidden[i + 1])
-                if use_edge_table:
-                    k_ev = ek_tab[sub.eids[i]]
-                    v_ev = ev_tab[sub.eids[i]]
-                else:
-                    k_ev, v_ev = lay.project_edge(feats.edge[sub.eids[i]])
+                # raw (narrow) edge rows + per-position projection
+                k_ev, v_ev = lay.project_edge(
+                    gather_rows(feats.edge, sub.eids[i]))
                 ew = explain_weights[i] if explain_weights is not None else None
                 out, _ = lay(q_node, tfeat[i], k_nv, v_nv, k_ev, v_ev,
                              tfeat[i + 1], masks[i], explain_weight=ew,

@@ -25,6 +25,7 @@ from flax import linen as nn
 from ..ops.attention import SplitTemporalAttention
 from ..ops.encodings import TimeEncode
 from ..ops.layers import ConcatMerge
+from ..ops.gather import gather_rows
 from ..ops.sampler import Subgraph
 from .common import Features
 
@@ -265,29 +266,32 @@ class TGN(nn.Module):
         for i in range(num_levels - 1):
             t = num_levels - 1 - i
             layer = self.attn_layers[i]
-            src_feat = combined[node_levels[t - 1]].reshape(-1, self.node_dim)
+            src_feat = gather_rows(combined, node_levels[t - 1]) \
+                .reshape(-1, self.node_dim)
             bq = src_feat.shape[0]
             src_t = self.time_encoder(jnp.zeros((bq, 1), jnp.float32))
             ngh_nodes = node_levels[t]
 
             if prev_emb is None:
-                # raw(+memory) keys: project the [N, Dn] table once, gather
+                # raw(+memory) keys: project the [N, Dn] table once; the
+                # "gather" of projected rows runs as a one-hot matmul —
+                # random row-gathers are DMA-descriptor-bound on TPU
+                # (PERF.md: ~20 ms per gather at 230k rows)
                 k_tab, v_tab = layer.project_node_table(combined)
-                k_nv = k_tab[ngh_nodes].reshape(bq, n, -1)
-                v_nv = v_tab[ngh_nodes].reshape(bq, n, -1)
+                k_nv = gather_rows(k_tab, ngh_nodes).reshape(bq, n, -1)
+                v_nv = gather_rows(v_tab, ngh_nodes).reshape(bq, n, -1)
             else:
                 k_nv, v_nv = layer.project_node(prev_emb.reshape(bq, n, -1))
 
             if edge_attr is not None:
                 k_ev, v_ev = layer.project_edge(
                     edge_attr[t - 1].reshape(bq, n, -1))
-            elif ngh_nodes.size > feats.edge.shape[0]:
-                ek_tab, ev_tab = layer.project_edge_table(feats.edge)
-                eids = sub.eids[t - 1]
-                k_ev = ek_tab[eids].reshape(bq, n, -1)
-                v_ev = ev_tab[eids].reshape(bq, n, -1)
             else:
-                e_raw = feats.edge[sub.eids[t - 1]].reshape(bq, n, -1)
+                # gather RAW (narrow) edge rows, then project per position:
+                # gathering from the projected [E, h*dk] table moves
+                # h*dk-wide rows through the descriptor-bound DMA path
+                e_raw = gather_rows(feats.edge, sub.eids[t - 1]) \
+                    .reshape(bq, n, -1)
                 k_ev, v_ev = layer.project_edge(e_raw)
 
             e_t = tfeats[t - 1].reshape(bq, n, -1)

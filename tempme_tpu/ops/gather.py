@@ -1,0 +1,41 @@
+"""TPU-friendly row gathers.
+
+The r3 trace of the TGN train step (logs/profile_r3, PERF.md) showed the step
+is DMA-descriptor-bound: random row gathers from the projected node/edge K/V
+tables (``table[idx]`` with ~230k random indices, 688-byte rows) each occupied
+~20 ms of async DMA time — per-descriptor overhead, not bandwidth. On TPU a
+gather from a SMALL table is far faster expressed as a one-hot matmul: the MXU
+streams the whole table sequentially and the "gather" becomes dense compute.
+
+``gather_rows`` dispatches to the one-hot form when BOTH
+  * the table is small (N <= ONE_HOT_MAX rows — the one-hot FLOPs stay
+    negligible), and
+  * the materialized one-hot operand stays under ONE_HOT_BYTES
+    (rows * N * 2 bytes in bf16 — dot operands are materialized).
+
+The reference's benchmark graphs (Enron 184 nodes, USLegis 224) sit far under
+both limits for node tables; edge tables (8.8k-125k rows) fall back to plain
+gathers of the RAW (narrow) feature rows.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ONE_HOT_MAX = 2048                  # max table rows for the one-hot path
+ONE_HOT_BYTES = 256 * 1024 * 1024   # max materialized one-hot operand
+
+
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table [N, D], idx [...] int -> [..., D]; equals ``table[idx]``."""
+    n = table.shape[0]
+    rows = int(np.prod(idx.shape)) if idx.ndim else 1
+    if n > ONE_HOT_MAX or rows * n * 2 > ONE_HOT_BYTES:
+        return table[idx]
+    dt = table.dtype if table.dtype in (jnp.bfloat16, jnp.float32) \
+        else jnp.float32
+    oh = jax.nn.one_hot(idx, n, dtype=dt)
+    out = jnp.matmul(oh, table.astype(dt),
+                     preferred_element_type=table.dtype)
+    return out.astype(table.dtype)

@@ -38,7 +38,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROW_TILE = 8  # float32 sublane tile
+_ROW_TILE = 128  # rows per grid step: big blocks amortize per-block
+                 # DMA overhead (PERF.md: 8-row tiles made the kernel
+                 # grid ~2k sequential tiny DMAs)
 
 
 def _in_mesh_context() -> bool:

@@ -111,7 +111,37 @@ def main(argv=None):
                     + loops.bce_with_logits(neg, jnp.zeros_like(neg))), new_mem
         (loss, new_mem), grads = jax.value_and_grad(loss_fn,
                                                     has_aux=True)(params)
-        return loss, jax.tree_util.tree_leaves(grads)[0]
+        # consume EVERY grad leaf so XLA cannot dead-code the backward
+        gsum = sum(jnp.sum(jnp.square(g))
+                   for g in jax.tree_util.tree_leaves(grads))
+        return loss, gsum
+
+    # --- stage: embeddings only (no memory writeback) -------------------
+    @jax.jit
+    def stage_embed(params, mem, batch):
+        (s, t, b2), _ = model.apply(
+            params, feats, mem, batch.src, batch.dst, bgd, batch.ts,
+            batch.eidx, ss0, ss1, ss2, update_memory=False,
+            deterministic=True, method=TGN.get_node_emb)
+        return s.sum() + t.sum() + b2.sum()
+
+    # --- stage: memory advance + store only ------------------------------
+    @jax.jit
+    def stage_memory(params, mem, batch):
+        _, new_mem = model.apply(
+            params, feats, mem, batch.src, batch.dst, bgd, batch.ts,
+            batch.eidx, ss0, ss1, ss2, update_memory=True,
+            deterministic=True, method=TGN.get_node_emb)
+        return new_mem.msg_buf.sum()
+
+    # --- stage: dropout-on fwd (the production fused-dropout path) -------
+    @jax.jit
+    def stage_fwd_drop(params, mem, batch, key):
+        (pos, neg), _ = model.apply(
+            params, feats, mem, batch.src, batch.dst, bgd, batch.ts,
+            batch.eidx, ss0, ss1, ss2, deterministic=False,
+            rngs={"dropout": key}, method=TGN.contrast)
+        return pos.sum() + neg.sum()
 
     # --- full fused production step -------------------------------------
     full_step = make_tgn_train_step(model, g, feats, dst_table, n, optimizer)
@@ -119,6 +149,10 @@ def main(argv=None):
     times = {
         "sample_ms": _timeit(lambda: stage_sample(key, batch)) * 1e3,
         "fwd_ms": _timeit(lambda: stage_fwd(params, mem, batch)) * 1e3,
+        "fwd_drop_ms": _timeit(
+            lambda: stage_fwd_drop(params, mem, batch, key)) * 1e3,
+        "embed_ms": _timeit(lambda: stage_embed(params, mem, batch)) * 1e3,
+        "memory_ms": _timeit(lambda: stage_memory(params, mem, batch)) * 1e3,
         "fwdbwd_ms": _timeit(lambda: stage_fwdbwd(params, mem, batch)) * 1e3,
         "full_ms": _timeit(lambda: full_step(state, mem, batch)) * 1e3,
     }
