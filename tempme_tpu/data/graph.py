@@ -40,6 +40,21 @@ class TemporalGraph:
     num_nodes: int = struct.field(pytree_node=False)
     num_edges: int = struct.field(pytree_node=False)
     max_degree: int = struct.field(pytree_node=False)
+    # Dense padded layout (small graphs only, max_degree <= DENSE_MAX_DEGREE):
+    # row n holds node n's time-sorted neighbor records padded to a fixed
+    # width. Lets the sampler replace bisect loops + random CSR gathers with
+    # one-hot matmul row fetches + row-local take_along_axis — the r3 trace
+    # showed random scalar gathers are DMA-descriptor-bound (PERF.md).
+    # dense_ts pads with a huge finite sentinel (not +inf: the one-hot
+    # matmul row fetch would produce inf*0=NaN) so "ts < t" counting equals
+    # bisect_left; dense_node/dense_eid are float32 (ids < 2^24 are exact)
+    # so row fetches ride the MXU.
+    dense_ts: jnp.ndarray | None = None       # [N, C] f32 (+inf padded)
+    dense_node: jnp.ndarray | None = None     # [N, C] f32
+    dense_eid: jnp.ndarray | None = None      # [N, C] f32
+
+
+DENSE_MAX_DEGREE = 512
 
 
 def build_temporal_graph(events: EventStream,
@@ -74,6 +89,21 @@ def build_temporal_graph(events: EventStream,
     edge_ts = np.zeros(num_edges, dtype=np.float32)
     edge_ts[events.e_idx] = events.ts
 
+    max_degree = int(counts.max()) if len(counts) else 0
+    dense_ts = dense_node = dense_eid = None
+    if 0 < max_degree <= DENSE_MAX_DEGREE:
+        c = max(8, -(-max_degree // 8) * 8)          # pad width to 8 rows
+        dts = np.full((num_nodes, c), np.float32(1e37), np.float32)
+        dnd = np.zeros((num_nodes, c), np.float32)
+        ded = np.zeros((num_nodes, c), np.float32)
+        rank = np.arange(len(src_s)) - off[src_s].astype(np.int64)
+        dts[src_s, rank] = ts_s
+        dnd[src_s, rank] = ngh_s
+        ded[src_s, rank] = eid_s
+        dense_ts = jnp.asarray(dts)
+        dense_node = jnp.asarray(dnd)
+        dense_eid = jnp.asarray(ded)
+
     return TemporalGraph(
         ngh_node=jnp.asarray(ngh_s),
         ngh_eid=jnp.asarray(eid_s),
@@ -82,5 +112,8 @@ def build_temporal_graph(events: EventStream,
         edge_ts=jnp.asarray(edge_ts),
         num_nodes=int(num_nodes),
         num_edges=int(num_edges),
-        max_degree=int(counts.max()) if len(counts) else 0,
+        max_degree=max_degree,
+        dense_ts=dense_ts,
+        dense_node=dense_node,
+        dense_eid=dense_eid,
     )

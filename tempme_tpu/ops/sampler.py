@@ -151,6 +151,30 @@ def sample_neighbors(g: TemporalGraph, key, nodes: jnp.ndarray,
       branch except its draws are NOT sorted (the reference sorts only the
       multinomial branch, utils/graph.py:219-227).
     """
+    # Dense fast path (small graphs, uniform mode): one-hot matmul row
+    # fetches from the padded [N, C] layout + row-local take_along_axis —
+    # no bisect loop, no random CSR gathers (PERF.md: those are
+    # DMA-descriptor-bound). Draws the same uniforms as the CSR path, so
+    # outputs are bit-identical (tests/test_sampler.py).
+    if g.dense_ts is not None and sample_method != "binary" and bias == 0.0:
+        from .gather import gather_rows
+        nodes32 = nodes.astype(jnp.int32)
+        t_cut = times if eids is None else g.edge_ts[eids.astype(jnp.int32)]
+        rows_ts = gather_rows(g.dense_ts, nodes32)           # [Q, C]
+        cut = jnp.sum(rows_ts < t_cut[:, None], axis=1).astype(jnp.int32)
+        if eids is not None:
+            cut = jnp.where((nodes == 0) | (eids == 0), 0, cut)
+        idx = _uniform_pick(key, cut, n)
+        valid = cut[:, None] > 0
+        rows_node = gather_rows(g.dense_node, nodes32)
+        rows_eid = gather_rows(g.dense_eid, nodes32)
+        out_node = jnp.take_along_axis(rows_node, idx, axis=1)
+        out_eid = jnp.take_along_axis(rows_eid, idx, axis=1)
+        out_ts = jnp.take_along_axis(rows_ts, idx, axis=1)
+        return (jnp.where(valid, out_node.astype(jnp.int32), 0),
+                jnp.where(valid, out_eid.astype(jnp.int32), 0),
+                jnp.where(valid, out_ts, 0.0))
+
     if eids is None:
         start, cut = cut_by_time(g, nodes, times)
     else:
@@ -248,10 +272,51 @@ def _union_uniform_sample(g: TemporalGraph, key,
     (src_node, ngh_node, eid, ts) per draw; zero-padded where the union is
     empty.
     """
+    q = node_a.shape[0]
+    if g.dense_ts is not None:
+        # dense fast path: fetch both nodes' padded rows (one-hot matmuls),
+        # count cuts, pick within-row positions — bit-identical draws to the
+        # CSR path below
+        from .gather import gather_rows
+        na, nb = node_a.astype(jnp.int32), node_b.astype(jnp.int32)
+        t_cut = g.edge_ts[eid_cut.astype(jnp.int32)]
+        rows_ts_a = gather_rows(g.dense_ts, na)
+        rows_ts_b = gather_rows(g.dense_ts, nb)
+        empty_a = (node_a == 0) | (eid_cut == 0)
+        empty_b = (node_b == 0) | (eid_cut == 0)
+        cut_a = jnp.where(empty_a, 0,
+                          jnp.sum(rows_ts_a < t_cut[:, None], axis=1)
+                          .astype(jnp.int32))
+        cut_b = jnp.where(empty_b, 0,
+                          jnp.sum(rows_ts_b < t_cut[:, None], axis=1)
+                          .astype(jnp.int32))
+        total = cut_a + cut_b
+        u = jax.random.uniform(key, (q, n_draws))
+        r = jnp.floor(u * total[:, None].astype(jnp.float32)).astype(jnp.int32)
+        r = jnp.clip(r, 0, jnp.maximum(total[:, None] - 1, 0))
+        from_a = r < cut_a[:, None]
+        j = jnp.where(from_a, r, r - cut_a[:, None])
+        j = jnp.clip(j, 0, g.dense_ts.shape[1] - 1)
+
+        def pick(rows_a, rows_b):
+            xa = jnp.take_along_axis(rows_a, j, axis=1)
+            xb = jnp.take_along_axis(rows_b, j, axis=1)
+            return jnp.where(from_a, xa, xb)
+
+        valid = total[:, None] > 0
+        out_src = jnp.where(valid, jnp.where(from_a, node_a[:, None],
+                                             node_b[:, None]), 0)
+        nd = pick(gather_rows(g.dense_node, na), gather_rows(g.dense_node, nb))
+        ed = pick(gather_rows(g.dense_eid, na), gather_rows(g.dense_eid, nb))
+        tv = pick(rows_ts_a, rows_ts_b)
+        return (out_src,
+                jnp.where(valid, nd.astype(jnp.int32), 0),
+                jnp.where(valid, ed.astype(jnp.int32), 0),
+                jnp.where(valid, tv, 0.0))
+
     start_a, cut_a = cut_by_edge(g, node_a, eid_cut)
     start_b, cut_b = cut_by_edge(g, node_b, eid_cut)
     total = cut_a + cut_b
-    q = node_a.shape[0]
 
     u = jax.random.uniform(key, (q, n_draws))
     r = jnp.floor(u * total[:, None].astype(jnp.float32)).astype(jnp.int32)
@@ -283,12 +348,62 @@ def _masked_union_sample(g: TemporalGraph, key,
 
     Returns (src_node, ngh_node, eid, ts, found).
     """
+    q = node_a.shape[0]
+    neg_inf = jnp.float32(-jnp.inf)
+
+    if g.dense_ts is not None:
+        # dense fast path: full-width Gumbel-argmax over both padded rows in
+        # one shot (no chunked while_loop, no random CSR gathers). Same
+        # exact-uniform-over-matches semantics; the Gumbel stream differs
+        # from the chunked CSR path (distribution-equivalent, documented).
+        from .gather import gather_rows
+        na, nb = node_a.astype(jnp.int32), node_b.astype(jnp.int32)
+        t_cut = g.edge_ts[eid_cut.astype(jnp.int32)]
+        rows_ts_a = gather_rows(g.dense_ts, na)
+        rows_ts_b = gather_rows(g.dense_ts, nb)
+        rows_nd_a = gather_rows(g.dense_node, na)
+        rows_nd_b = gather_rows(g.dense_node, nb)
+        c = g.dense_ts.shape[1]
+        in_a = (rows_ts_a < t_cut[:, None]) \
+            & ~((node_a == 0) | (eid_cut == 0))[:, None]
+        in_b = (rows_ts_b < t_cut[:, None]) \
+            & ~((node_b == 0) | (eid_cut == 0))[:, None]
+        ngh_a = rows_nd_a.astype(jnp.int32)
+        ngh_b = rows_nd_b.astype(jnp.int32)
+        match_a = wildcard[:, None] | (ngh_a == va1[:, None]) \
+            | (ngh_a == va2[:, None])
+        match_b = wildcard[:, None] | (ngh_b == vb1[:, None])
+        key_a, key_b = jax.random.split(key)
+        sc_a = jnp.where(in_a & match_a,
+                         jax.random.gumbel(key_a, (q, c)), neg_inf)
+        sc_b = jnp.where(in_b & match_b,
+                         jax.random.gumbel(key_b, (q, c)), neg_inf)
+        best_a = jnp.max(sc_a, axis=1)
+        best_b = jnp.max(sc_b, axis=1)
+        from_a = best_a >= best_b
+        found = jnp.maximum(best_a, best_b) > neg_inf
+        ja = jnp.argmax(sc_a, axis=1)[:, None]
+        jb = jnp.argmax(sc_b, axis=1)[:, None]
+        j = jnp.where(from_a[:, None], ja, jb)
+
+        def pick(rows_a, rows_b):
+            xa = jnp.take_along_axis(rows_a, j, axis=1).squeeze(1)
+            xb = jnp.take_along_axis(rows_b, j, axis=1).squeeze(1)
+            return jnp.where(from_a, xa, xb)
+
+        rows_ed_a = gather_rows(g.dense_eid, na)
+        rows_ed_b = gather_rows(g.dense_eid, nb)
+        out_src = jnp.where(found, jnp.where(from_a, node_a, node_b), 0)
+        out_ngh = jnp.where(found,
+                            pick(rows_nd_a, rows_nd_b).astype(jnp.int32), 0)
+        out_eid = jnp.where(found,
+                            pick(rows_ed_a, rows_ed_b).astype(jnp.int32), 0)
+        out_ts = jnp.where(found, pick(rows_ts_a, rows_ts_b), 0.0)
+        return out_src, out_ngh, out_eid, out_ts, found
+
     start_a, cut_a = cut_by_edge(g, node_a, eid_cut)
     start_b, cut_b = cut_by_edge(g, node_b, eid_cut)
-    q = node_a.shape[0]
     max_len = jnp.maximum(jnp.max(cut_a), jnp.max(cut_b))
-
-    neg_inf = jnp.float32(-jnp.inf)
 
     def scan_list(carry_key, start, cut, src_id, allow1, allow2, use2):
         """Chunked Gumbel-argmax over one CSR slice with target filtering."""

@@ -41,6 +41,11 @@ def main(argv=None):
     add_explainer_args(p)
     p.add_argument("--base_type", type=str, default="tgn")
     p.add_argument("--ckpt_dir", type=str, default="params")
+    p.add_argument("--freeze_base_epochs", type=int, default=0,
+                   help="train only the predictor for the first K epochs "
+                        "(warmup that protects the pretrained base from "
+                        "early joint-optimization damage; 0 = reference "
+                        "behavior, joint from epoch 0)")
     args = p.parse_args(argv)
     cfg = config_from_args(args)   # single config tree (SURVEY §5.6)
     if args.base_type == "tgat":
@@ -104,8 +109,11 @@ def main(argv=None):
             method=type(base.model).get_node_emb)
         return (s, t, b), mem
 
-    @jax.jit
-    def train_step(params, opt_state, mem, key, batch: loops.Batch):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("train_base",))
+    def train_step(params, opt_state, mem, key, batch: loops.Batch,
+                   train_base: bool = True):
         k_samp, k_drop1, k_drop2, k_next = jax.random.split(key, 4)
         bgd, subs, walks = sample_explainer_inputs(
             g_train, k_samp, batch, dst_train, n_degree)
@@ -126,6 +134,11 @@ def main(argv=None):
 
         (loss, (pos, neg, new_mem)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        if not train_base:
+            # warmup: predictor-only updates (base grads zeroed; Adam moments
+            # for the base start at zero so its params stay exactly fixed)
+            grads = {"predictor": grads["predictor"],
+                     "base": jax.tree.map(jnp.zeros_like, grads["base"])}
         updates, opt_state2 = optimizer.update(grads, opt_state, params)
         params2 = optax.apply_updates(params, updates)
         return params2, opt_state2, new_mem, k_next, dict(
@@ -160,7 +173,8 @@ def main(argv=None):
                                         seed=args.seed + epoch,
                                         drop_remainder=True):
             all_params, opt_state, mem, key, aux = train_step(
-                all_params, opt_state, mem, key, batch)
+                all_params, opt_state, mem, key, batch,
+                train_base=epoch >= args.freeze_base_epochs)
             n_ev += len(batch.src)
             losses.append(float(aux["loss"]))
             s = np.r_[jax.nn.sigmoid(np.asarray(aux["pos"])),
@@ -210,9 +224,6 @@ def main(argv=None):
     print(f"results -> {out}")
     return best_ap
 
-
-if __name__ == "__main__":
-    main()
 
 
 def _main_tgat(args):
@@ -351,3 +362,7 @@ def _main_tgat(args):
                        auc=best_auc), f, indent=1)
     print(f"results -> {out}")
     return best_ap
+
+
+if __name__ == "__main__":
+    main()

@@ -225,3 +225,24 @@ def test_cache_write_read_train_parity(tmp_path):
                     for w in online_walks]
     np.testing.assert_allclose(kl_of(list(walks_c)), kl_of(online_trunc),
                                rtol=1e-6)
+
+
+def test_null_distribution_stability(events):
+    """The null prior must be stable across estimator seeds: max pairwise TV
+    distance bounded (VERDICT r2 weak#9). Synthetic graph, tiny budget."""
+    import numpy as np
+    from tempme_tpu.explain.null_model import null_distribution_stability
+    r = np.random.RandomState(0)
+    node_feat = r.randn(41, 8).astype(np.float32)
+    edge_feat = r.randn(401, 4).astype(np.float32)
+    rep = null_distribution_stability(events, n_degree=5,
+                                      node_feat=node_feat,
+                                      edge_feat=edge_feat,
+                                      seeds=(0, 1), num_batches=6,
+                                      batch_size=10)
+    assert rep["dists"].shape == (2, 12)
+    np.testing.assert_allclose(rep["dists"].sum(axis=1), 1.0, atol=1e-5)
+    # small-sample estimates on a 400-event synthetic stream still agree to
+    # within TV 0.35; the real-dataset stability number is recorded in
+    # RESULTS.md from a full-budget run
+    assert rep["max_tv_distance"] < 0.35, rep

@@ -304,3 +304,34 @@ def test_binary_sample_method_unsorted(events):
         g, jax.random.PRNGKey(11), jnp.asarray([node] * 16, jnp.int32),
         jnp.full((16,), t_cut), 8, bias=0.01)
     assert (np.diff(np.asarray(ts_mul), axis=1) >= 0).all()
+
+
+def test_dense_path_bitwise_matches_csr(events):
+    """The dense small-graph fast path (data/graph.py dense_* layout) must
+    produce BIT-IDENTICAL samples to the CSR bisect path: same uniform draws,
+    same cut indices, same records (PERF.md r3 sampler redesign)."""
+    import dataclasses
+    from tempme_tpu.data.graph import build_temporal_graph
+    from tempme_tpu.ops import sampler as S
+
+    g = build_temporal_graph(events)
+    assert g.dense_ts is not None, "test events should take the dense path"
+    g_csr = dataclasses.replace(g, dense_ts=None, dense_node=None,
+                                dense_eid=None)
+    r = np.random.RandomState(0)
+    q, n = 64, 7
+    nodes = jnp.asarray(r.randint(0, g.num_nodes, q).astype(np.int32))
+    times = jnp.asarray(
+        r.uniform(0, float(np.asarray(events.ts).max()) * 1.2, q)
+        .astype(np.float32))
+    eids = jnp.asarray(r.randint(0, g.num_edges, q).astype(np.int32))
+    key = jax.random.PRNGKey(3)
+
+    for use_eids in (None, eids):
+        a = S.sample_neighbors(g, key, nodes, times, n, eids=use_eids)
+        b = S.sample_neighbors(g_csr, key, nodes, times, n, eids=use_eids)
+        for x, y, name in zip(a, b, ("node", "eid", "ts")):
+            np.testing.assert_array_equal(
+                np.asarray(x), np.asarray(y),
+                err_msg=f"dense vs csr mismatch in {name} "
+                        f"(eids={'on' if use_eids is not None else 'off'})")
