@@ -22,7 +22,11 @@ run() {
 }
 
 # retrain bases (r1 checkpoints predate the current attention-module layout)
-run base_tgat        python -m tempme_tpu.train.learn_base --base_type tgat --n_epoch 30 --n_layer 2
+# tgat at the reference's default 3 layers (learn_base.py:36 — VERDICT r2
+# weak#5 asked for published 3-layer numbers)
+# bs=64: the 3-layer pyramid's deepest pass holds [bs*900, 30, 344] bf16
+# K/V (+backward); bs=256 would need ~19 GB HBM on the 16 GB v5e
+run base_tgat        python -m tempme_tpu.train.learn_base --base_type tgat --n_epoch 30 --n_layer 3 --bs 64
 run base_tgn         python -m tempme_tpu.train.learn_base --base_type tgn --n_epoch 30
 run base_graphmixer  python -m tempme_tpu.train.learn_base --base_type graphmixer --n_epoch 30
 
@@ -30,8 +34,10 @@ run explainer_tgn         python -m tempme_tpu.train.temp_exp_main --base_type t
 run explainer_tgat        python -m tempme_tpu.train.temp_exp_main --base_type tgat --n_epoch 10
 run explainer_graphmixer  python -m tempme_tpu.train.temp_exp_main --base_type graphmixer --n_epoch 10
 
-run enhance_tgn           python -m tempme_tpu.train.enhance_main --base_type tgn --n_epoch 10
-run enhance_graphmixer    python -m tempme_tpu.train.enhance_main --base_type graphmixer --n_epoch 10
+# enhance at the reference's scale (enhance_main.py:60-64: bs=400, 100 epochs)
+run enhance_tgn           python -m tempme_tpu.train.enhance_main --base_type tgn --n_epoch 100 --bs 400
+run enhance_graphmixer    python -m tempme_tpu.train.enhance_main --base_type graphmixer --n_epoch 100 --bs 400
+run enhance_tgat          python -m tempme_tpu.train.enhance_main --base_type tgat --n_epoch 100 --bs 100
 
 echo "=== pipeline complete ==="
 ls -la results/

@@ -30,6 +30,26 @@ from jax import lax
 from ..data.graph import TemporalGraph
 
 
+def _dense_enabled(g) -> bool:
+    """Dense-path gate. The dense layout is CPU-proven (bit-identical to the
+    CSR path, tests/test_sampler.py) but the TPU AOT compile service shows
+    NONDETERMINISTIC multi-minute stalls on some dense-sampler graphs
+    (PERF.md "dense sampler" section: identical subgraphs compiled in 1 s or
+    204 s or not at all across runs), so it is opt-in until that pathology is
+    resolved: TEMPME_DENSE_SAMPLER=1 enables, =0 disables, unset = CPU only.
+    """
+    import os
+    if g.dense_ts is None:
+        return False
+    env = os.environ.get("TEMPME_DENSE_SAMPLER", "")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    import jax
+    return jax.default_backend() == "cpu"
+
+
 class Subgraph(NamedTuple):
     """k-hop temporal support: hop ℓ arrays have width n^(ℓ+1)."""
     nodes: Tuple[jnp.ndarray, ...]   # each [B, n^(l+1)] int32
@@ -156,7 +176,7 @@ def sample_neighbors(g: TemporalGraph, key, nodes: jnp.ndarray,
     # no bisect loop, no random CSR gathers (PERF.md: those are
     # DMA-descriptor-bound). Draws the same uniforms as the CSR path, so
     # outputs are bit-identical (tests/test_sampler.py).
-    if g.dense_ts is not None and sample_method != "binary" and bias == 0.0:
+    if _dense_enabled(g) and sample_method != "binary" and bias == 0.0:
         from .gather import gather_rows
         nodes32 = nodes.astype(jnp.int32)
         t_cut = times if eids is None else g.edge_ts[eids.astype(jnp.int32)]
@@ -273,7 +293,7 @@ def _union_uniform_sample(g: TemporalGraph, key,
     empty.
     """
     q = node_a.shape[0]
-    if g.dense_ts is not None:
+    if _dense_enabled(g):
         # dense fast path: fetch both nodes' padded rows (one-hot matmuls),
         # count cuts, pick within-row positions — bit-identical draws to the
         # CSR path below
@@ -351,7 +371,7 @@ def _masked_union_sample(g: TemporalGraph, key,
     q = node_a.shape[0]
     neg_inf = jnp.float32(-jnp.inf)
 
-    if g.dense_ts is not None:
+    if _dense_enabled(g):
         # dense fast path: full-width Gumbel-argmax over both padded rows in
         # one shot (no chunked while_loop, no random CSR gathers). Same
         # exact-uniform-over-matches semantics; the Gumbel stream differs

@@ -78,6 +78,12 @@ def iter_global_batches(events: EventStream, batch_size: int, mesh,
     jax.Arrays of shape [B] whose addressable shards hold only this process's
     slice. Single-process: equivalent to ``loops.iter_batches`` with
     device-sharded output.
+
+    With ``drop_remainder=False`` the final chunk is padded with index 0 and
+    ``mask=False``; the TGN train/eval steps remap masked rows to the padding
+    node and scrub memory row 0 (``loops.mask_batch_nodes`` /
+    ``scrub_padding_row``), so padded batches cannot store duplicate real
+    messages (ADVICE r2).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
