@@ -1,0 +1,195 @@
+"""Scaling-efficiency harness (SURVEY.md §2.10 / BASELINE north star:
+"edges/s scaling efficiency measured at 1 chip, 1 host, N hosts").
+
+Real multi-chip hardware is not available in this environment, so this tool
+produces everything that does not need it and is the harness to run the
+moment a pod exists:
+
+* compiles the FULL sharded TGN train step for each mesh decomposition on an
+  N-device virtual CPU mesh,
+* counts the collectives XLA inserted (all-reduce / all-gather / all-to-all /
+  collective-permute / reduce-scatter) from the compiled HLO,
+* estimates per-step communication volume from the collective operand shapes,
+* times one step per mesh on the virtual devices (semantic check, NOT a
+  hardware number), and
+* emits a JSON + markdown table (SCALING.md).
+
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           python -m tempme_tpu.tools.scaling_report [--out SCALING.md]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import time
+
+
+MESHES = [(1, 1, 1), (2, 1, 1), (4, 1, 1), (8, 1, 1),
+          (1, 2, 1), (1, 1, 2), (4, 2, 1), (2, 2, 2)]
+
+COLLECTIVES = ("all-reduce", "all-gather", "all-to-all", "collective-permute",
+               "reduce-scatter")
+
+_DTYPE_BYTES = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "f16": 2, "s8": 1,
+                "u8": 1, "pred": 1, "f64": 8, "s64": 8, "u64": 8}
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """'f32[256,900]' -> byte count (best-effort; tuple shapes summed)."""
+    total = 0
+    for m in re.finditer(r"(\w+)\[([\d,]*)\]", shape_str):
+        dt, dims = m.group(1), m.group(2)
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def analyze_hlo(hlo_text: str) -> dict:
+    counts = {c: 0 for c in COLLECTIVES}
+    comm_bytes = {c: 0 for c in COLLECTIVES}
+    for line in hlo_text.splitlines():
+        ls = line.strip()
+        for c in COLLECTIVES:
+            # match the op name at the '= <shape> opname(' position
+            if re.search(rf"= [^=]*\b{c}(-start)?\(", ls):
+                counts[c] += 1
+                lhs = ls.split("=", 1)[1]
+                comm_bytes[c] += _shape_bytes(lhs.split("(", 1)[0])
+                break
+    return {"counts": counts, "bytes": comm_bytes,
+            "total_collectives": sum(counts.values()),
+            "total_bytes": sum(comm_bytes.values())}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="SCALING.md")
+    ap.add_argument("--json_out", default="scaling_report.json")
+    ap.add_argument("--bs_per_dp", type=int, default=8)
+    ap.add_argument("--n_base", type=int, default=4)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import __graft_entry__ as ge
+    ge._ensure_devices(8)   # virtual CPU mesh (env flags may be pinned)
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    from tempme_tpu.parallel import mesh as M
+    from tempme_tpu.parallel.train import make_sharded_tgn_train_step
+    from tempme_tpu.train import loops
+    from tempme_tpu.ops import sampler as S
+
+    n_dev = len(jax.devices())
+    rows = []
+    for dp, sp, tp in MESHES:
+        need = dp * sp * tp
+        if need > n_dev:
+            continue
+        mesh = M.make_mesh(dp, sp, tp, devices=jax.devices()[:need])
+        dn = 16 * max(1, tp)
+        ev, g, feats = ge._tiny_setup(dn=dn, de=8)
+        b = args.bs_per_dp * dp                   # weak scaling over dp
+        n = args.n_base * sp
+        model = TGN(node_dim=dn, edge_dim=8, num_nodes=g.num_nodes,
+                    n_layers=2, n_head=2, dropout=0.0)
+        mem = init_memory_state(g.num_nodes, model.memory_dim,
+                                model.raw_message_dim)
+        r = np.random.RandomState(2)
+        batch = loops.Batch(
+            src=jnp.asarray(r.randint(1, 32, b).astype(np.int32)),
+            dst=jnp.asarray(r.randint(1, 32, b).astype(np.int32)),
+            ts=jnp.asarray(np.full(b, float(ev.ts.max()) + 1, np.float32)),
+            eidx=jnp.asarray(r.randint(1, len(ev), b).astype(np.int32)),
+            mask=jnp.ones((b,), bool))
+        key = jax.random.PRNGKey(0)
+        subs = tuple(S.find_k_hop(g, jax.random.fold_in(key, i), batch.src,
+                                  batch.ts, 2, n) for i in range(3))
+        params = model.init({"params": key, "dropout": key}, feats, mem,
+                            batch.src, batch.dst, batch.dst, batch.ts,
+                            batch.eidx, *subs, deterministic=True)
+        optimizer = optax.adam(1e-3)
+        with mesh:
+            step, place, place_batch = make_sharded_tgn_train_step(
+                model, g, feats, jnp.asarray(np.unique(ev.dst)), n,
+                optimizer, mesh)
+            p8, o8, m8, k8 = place(params, optimizer.init(params), mem,
+                                    key)
+            b8 = place_batch(batch)
+            lowered = step.lower(p8, o8, m8, k8, b8)
+            compiled = lowered.compile()
+            hlo = compiled.as_text()
+            rep = analyze_hlo(hlo)
+            # one-step timing on the virtual mesh: a semantics/overhead probe
+            out = step(p8, o8, m8, k8, b8)
+            jax.block_until_ready(out[4])
+            t0 = time.perf_counter()
+            for _ in range(3):
+                out = step(p8, o8, m8, k8, b8)
+            jax.block_until_ready(out[4])
+            step_ms = (time.perf_counter() - t0) / 3 * 1e3
+        rows.append({"mesh": f"{dp}x{sp}x{tp}", "devices": need,
+                     "global_batch": b, "n_degree": n,
+                     "collectives": rep["counts"],
+                     "comm_bytes_per_step": rep["total_bytes"],
+                     "total_collectives": rep["total_collectives"],
+                     "virtual_step_ms": round(step_ms, 1)})
+        print(json.dumps(rows[-1]))
+
+    with open(args.json_out, "w") as f:
+        json.dump(rows, f, indent=1)
+
+    lines = [
+        "# SCALING — sharded TGN train-step collective/communication report",
+        "",
+        "Generated by `tempme_tpu.tools.scaling_report` on an "
+        f"{n_dev}-device **virtual CPU mesh** (no pod available in this "
+        "environment — BASELINE north star asks for 1-chip/1-host/N-host "
+        "edges/s; this harness produces the collective counts, per-step "
+        "communication volume, and the exact script to run on real "
+        "hardware).",
+        "",
+        "Weak scaling: per-dp-shard batch is fixed "
+        f"({args.bs_per_dp}), the support width scales with sp. "
+        "`virtual_step_ms` is a CPU-simulation number — it validates "
+        "semantics and shows collective overhead trends, NOT hardware "
+        "throughput.",
+        "",
+        "| mesh (dp×sp×tp) | devices | global batch | AR | AG | A2A | CP | RS "
+        "| comm bytes/step | virtual step ms |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r_ in rows:
+        c = r_["collectives"]
+        lines.append(
+            f"| {r_['mesh']} | {r_['devices']} | {r_['global_batch']} "
+            f"| {c['all-reduce']} | {c['all-gather']} | {c['all-to-all']} "
+            f"| {c['collective-permute']} | {c['reduce-scatter']} "
+            f"| {r_['comm_bytes_per_step']:,} | {r_['virtual_step_ms']} |")
+    lines += [
+        "",
+        "Interpretation: dp-only meshes communicate only in the gradient "
+        "all-reduce (data parallelism); sp meshes add all-gather/"
+        "collective-permute traffic for the neighbor-axis shards and the "
+        "row-sharded TGN memory (the edge-partition analog, SURVEY.md "
+        "§2.10); tp shards the feature tables and kernels. On a real slice "
+        "these collectives ride ICI; run this tool there to fill in real "
+        "step times.",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {args.out} + {args.json_out}")
+    return rows
+
+
+if __name__ == "__main__":
+    main()
