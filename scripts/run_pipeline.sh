@@ -24,9 +24,9 @@ run() {
 # retrain bases (r1 checkpoints predate the current attention-module layout)
 # tgat at the reference's default 3 layers (learn_base.py:36 — VERDICT r2
 # weak#5 asked for published 3-layer numbers)
-# bs=64: the 3-layer pyramid's deepest pass holds [bs*900, 30, 344] bf16
-# K/V (+backward); bs=256 would need ~19 GB HBM on the 16 GB v5e
-run base_tgat        python -m tempme_tpu.train.learn_base --base_type tgat --n_epoch 30 --n_layer 3 --bs 64
+# bs=32: the 3-layer pyramid's deepest pass holds [bs*900, 30, 344] K/V
+# plus f32 backward saves; bs=64 ResourceExhausted on the 16 GB v5e
+run base_tgat        python -m tempme_tpu.train.learn_base --base_type tgat --n_epoch 30 --n_layer 3 --bs 32
 run base_tgn         python -m tempme_tpu.train.learn_base --base_type tgn --n_epoch 30
 run base_graphmixer  python -m tempme_tpu.train.learn_base --base_type graphmixer --n_epoch 30
 
