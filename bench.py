@@ -61,7 +61,7 @@ def make_enron_shaped():
     ev = EventStream(src, dst, ts, np.zeros(num_events, np.float32),
                      np.arange(1, num_events + 1, dtype=np.int32))
     node_feat = np.r_[np.zeros((1, dn)),
-                      r.randn(num_nodes + 1, dn)].astype(np.float32)
+                      r.randn(num_nodes, dn)].astype(np.float32)
     edge_feat = np.r_[np.zeros((1, de)),
                       r.randn(num_events, de)].astype(np.float32)
     return ev, node_feat, edge_feat

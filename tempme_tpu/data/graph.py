@@ -91,7 +91,10 @@ def build_temporal_graph(events: EventStream,
 
     max_degree = int(counts.max()) if len(counts) else 0
     dense_ts = dense_node = dense_eid = None
-    if 0 < max_degree <= DENSE_MAX_DEGREE:
+    # Node/edge ids are stored as float32 in the dense layout; only exact for
+    # ids < 2^24, so gate the build on that too (ADVICE r3 medium).
+    if (0 < max_degree <= DENSE_MAX_DEGREE
+            and num_edges < 2**24 and num_nodes < 2**24):
         c = max(8, -(-max_degree // 8) * 8)          # pad width to 8 rows
         dts = np.full((num_nodes, c), np.float32(1e37), np.float32)
         dnd = np.zeros((num_nodes, c), np.float32)

@@ -28,14 +28,25 @@ ONE_HOT_BYTES = 256 * 1024 * 1024   # max materialized one-hot operand
 
 
 def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """table [N, D], idx [...] int -> [..., D]; equals ``table[idx]``."""
+    """table [N, D], idx [...] int -> [..., D]; equals ``table[idx]``.
+
+    Out-of-range idx are clamped to [0, N-1], matching jitted ``table[idx]``
+    semantics exactly. The one-hot matmul runs at Precision.HIGHEST so f32
+    table rows (including integer-valued id tables) come back bit-exact —
+    the TPU default single-pass bf16 matmul would round every row
+    (ADVICE r3 high: edge ids > 256 were misrounded through bf16's 8-bit
+    mantissa).
+    """
     n = table.shape[0]
     rows = int(np.prod(idx.shape)) if idx.ndim else 1
-    if n > ONE_HOT_MAX or rows * n * 2 > ONE_HOT_BYTES:
-        return table[idx]
     dt = table.dtype if table.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
+    if n > ONE_HOT_MAX or rows * n * jnp.dtype(dt).itemsize > ONE_HOT_BYTES:
+        return table[idx]
+    idx = jnp.where(idx < 0, idx + n, idx)   # Python-style negative wrap,
+    idx = jnp.clip(idx, 0, n - 1)            # then XLA clamp — ≡ table[idx]
     oh = jax.nn.one_hot(idx, n, dtype=dt)
     out = jnp.matmul(oh, table.astype(dt),
-                     preferred_element_type=table.dtype)
+                     preferred_element_type=table.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.astype(table.dtype)

@@ -1,0 +1,263 @@
+"""Pallas CSR temporal-sampling kernels (SURVEY.md §7.1.8(a), the round-1..3
+promise; replaces the reference's hot Python sampling loops
+utils/graph.py:197-231,265-333 on the TPU compute path).
+
+Layout: the ragged CSR rows are padded to a dense ``[N, C]`` per-node layout
+(data/graph.py ``dense_*``) — the TPU-native form of the CSR adjacency. The
+kernel keeps ALL THREE tables (ts / neighbor-id / edge-id) resident in VMEM as
+one concatenated ``[Np, 3*Cp]`` block and fuses, per query tile:
+
+  row fetch   one-hot(node) @ table on the MXU (Precision.HIGHEST — exact for
+              f32 values incl. integer ids; a default bf16 pass would misround
+              ids > 256, the ADVICE r3 failure mode)
+  bisect      the strictly-earlier prefix length = a row-wise comparison count
+              (``sum(ts_row < t_cut)``) — bisect_left ≡ rank of t_cut in the
+              sorted row (utils/graph.py:103-146,511-530)
+  pick        ``floor(u_sorted * cut)`` per draw (u pre-sorted outside, so the
+              picks come out index-sorted exactly like the reference's
+              ``np.sort`` of sampled indices, utils/graph.py:219-223)
+  gather      row-local one-hot masked sums (VPU) — no random HBM gathers.
+
+The un-kerneled XLA expression of the same dense math hit nondeterministic
+multi-minute TPU compile stalls (PERF.md r3 "dense sampler"); the Pallas
+kernel is opaque to that fusion pathology and replaces it outright.
+
+Bit-parity: given the same PRNG key the kernel's outputs equal the jnp CSR
+path (``ops/sampler.py``) bit-for-bit — same uniforms, same f32 arithmetic
+(floor∘scale is monotone, so sorting u first commutes with the pick). Checked
+in tests/test_pallas.py on the interpreter and by tools/tpu_smoke.py on chip.
+
+Two kernels:
+  * ``sample_rows``      — k=1 neighbor sampling (get_temporal_neighbor)
+  * ``sample_union``     — uniform draws from the union of two nodes'
+                           cut histories (get_next_step, walk event 2)
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+_MAX_TABLE_BYTES = 8 * 1024 * 1024   # VMEM-resident table budget (v5e ~16MB)
+_MAX_NODES = 4096                    # one-hot row-fetch stays MXU-cheap
+_TQ = 128                            # query rows per grid step
+
+
+def available(g) -> bool:
+    """Kernel eligibility for this graph: dense layout built and small enough
+    to keep resident in VMEM; TPU backend; not under a mesh (pallas_call has
+    no SPMD partitioning rule — sharded paths keep the jnp CSR ops)."""
+    if g.dense_ts is None:
+        return False
+    if os.environ.get("TEMPME_SAMPLE_KERNEL", "") == "0":
+        return False
+    np_, c = g.dense_ts.shape
+    if np_ > _MAX_NODES or 3 * _round_up(np_, 8) * _round_up(c, 128) * 4 \
+            > _MAX_TABLE_BYTES:
+        return False
+    from .kernels import _in_mesh_context
+    if _in_mesh_context():
+        return False
+    if jax.default_backend() != "tpu":
+        return os.environ.get("TEMPME_SAMPLE_KERNEL", "") == "1"
+    return True
+
+
+def _dense_table(g) -> jnp.ndarray:
+    """[Np, 3*Cp] f32: [ts | node | eid] lane-concatenated, C padded to 128
+    lanes (ts pad 1e37 keeps comparisons False, ids pad 0), N padded to 8
+    sublanes. Built per trace — tiny, and XLA CSEs repeated builds."""
+    np_, c = g.dense_ts.shape
+    npad, cpad = _round_up(np_, 8), _round_up(c, 128)
+    ts = jnp.pad(g.dense_ts, ((0, npad - np_), (0, cpad - c)),
+                 constant_values=jnp.float32(1e37))
+    nd = jnp.pad(g.dense_node, ((0, npad - np_), (0, cpad - c)))
+    ed = jnp.pad(g.dense_eid, ((0, npad - np_), (0, cpad - c)))
+    return jnp.concatenate([ts, nd, ed], axis=1)
+
+
+def _fetch_rows(tbl_ref, nid, N, C):
+    """One-hot MXU row fetch: [TQ] node ids -> (ts, node, eid) rows [TQ, C]."""
+    tq = nid.shape[0]
+    oh = (jax.lax.broadcasted_iota(jnp.int32, (tq, N), 1)
+          == nid[:, None]).astype(jnp.float32)
+    rows = jnp.dot(oh, tbl_ref[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    return rows[:, :C], rows[:, C:2 * C], rows[:, 2 * C:3 * C]
+
+
+def _select_cols(idx, n, *rows):
+    """Row-local gather: out[q, k] = rows[q, idx[q, k]] for each rows array,
+    as n unrolled masked sums on the VPU (no dynamic gathers)."""
+    tq, c = rows[0].shape
+    colids = jax.lax.broadcasted_iota(jnp.int32, (tq, c), 1)
+    outs = [[] for _ in rows]
+    for k in range(n):
+        sel = colids == idx[:, k][:, None]
+        for o, r in zip(outs, rows):
+            o.append(jnp.sum(jnp.where(sel, r, 0.0), axis=1))
+    return [jnp.stack(o, axis=1) for o in outs]
+
+
+# ---------------------------------------------------------------------------
+# k=1 neighbor sampling
+# ---------------------------------------------------------------------------
+
+def _sample_rows_kernel(tbl_ref, nodes_ref, tcut_ref, u_ref,
+                        nd_out, ed_out, ts_out, *, N, C, n):
+    rows_ts, rows_nd, rows_ed = _fetch_rows(tbl_ref, nodes_ref[:, 0], N, C)
+    cut = jnp.sum((rows_ts < tcut_ref[:]).astype(jnp.int32), axis=1,
+                  keepdims=True)                                   # [TQ, 1]
+    idx = jnp.floor(u_ref[:] * cut.astype(jnp.float32)).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, jnp.maximum(cut - 1, 0))
+    valid = (cut > 0).astype(jnp.float32)
+    o_ts, o_nd, o_ed = _select_cols(idx, n, rows_ts, rows_nd, rows_ed)
+    ts_out[:] = o_ts * valid
+    nd_out[:] = o_nd * valid
+    ed_out[:] = o_ed * valid
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _sample_rows_call(tbl, nodes, tcut, u_sorted, n, interpret=False):
+    npad, c3 = tbl.shape
+    c = c3 // 3
+    q = nodes.shape[0]
+    qp = _round_up(q, _TQ)
+    nodes_p = jnp.zeros((qp, 1), jnp.int32).at[:q, 0].set(
+        nodes.astype(jnp.int32))
+    tcut_p = jnp.full((qp, 1), -jnp.inf, jnp.float32).at[:q, 0].set(tcut)
+    u_p = jnp.zeros((qp, n), jnp.float32).at[:q].set(u_sorted)
+    kern = functools.partial(_sample_rows_kernel, N=npad, C=c, n=n)
+    nd, ed, ts = pl.pallas_call(
+        kern,
+        grid=(qp // _TQ,),
+        in_specs=[
+            pl.BlockSpec((npad, c3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TQ, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((_TQ, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((qp, n), jnp.float32)] * 3,
+        interpret=interpret,
+    )(tbl, nodes_p, tcut_p, u_p)
+    return (nd[:q].astype(jnp.int32), ed[:q].astype(jnp.int32), ts[:q])
+
+
+def sample_rows(g, key, nodes, t_cut, n: int, force_empty=None,
+                interpret: bool | None = None):
+    """Fused k=1 temporal sampling: per (node, t_cut) draw ``n`` uniform picks
+    from the strictly-earlier prefix. ``force_empty`` rows yield all-padding
+    (the cut_by_edge node==0|eid==0 rule, utils/graph.py:133).
+
+    Bit-identical to the CSR path ``sample_neighbors(..., bias=0)`` given the
+    same key."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q = nodes.shape[0]
+    u = jnp.sort(jax.random.uniform(key, (q, n)), axis=1)
+    t_eff = jnp.where(force_empty, -jnp.inf, t_cut) \
+        if force_empty is not None else t_cut
+    return _sample_rows_call(_dense_table(g), nodes, t_eff, u, n,
+                             interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# union-of-two-histories uniform sampling (motif walk event 2)
+# ---------------------------------------------------------------------------
+
+def _sample_union_kernel(tbl_ref, na_ref, nb_ref, tcut_ref, ea_ref, eb_ref,
+                         u_ref, src_out, nd_out, ed_out, ts_out, *, N, C, n):
+    ats, andd, aed = _fetch_rows(tbl_ref, na_ref[:, 0], N, C)
+    bts, bnd, bed = _fetch_rows(tbl_ref, nb_ref[:, 0], N, C)
+    t = tcut_ref[:]
+    cut_a = jnp.sum((ats < t).astype(jnp.int32), axis=1, keepdims=True)
+    cut_b = jnp.sum((bts < t).astype(jnp.int32), axis=1, keepdims=True)
+    cut_a = cut_a * (1 - ea_ref[:].astype(jnp.int32))     # forced-empty a
+    cut_b = cut_b * (1 - eb_ref[:].astype(jnp.int32))     # forced-empty b
+    total = cut_a + cut_b
+    r = jnp.floor(u_ref[:] * total.astype(jnp.float32)).astype(jnp.int32)
+    r = jnp.clip(r, 0, jnp.maximum(total - 1, 0))
+    from_a = r < cut_a                                    # [TQ, n]
+    j = jnp.where(from_a, r, r - cut_a)
+    j = jnp.clip(j, 0, C - 1)
+    o = _select_cols(j, n, ats, andd, aed, bts, bnd, bed)
+    a_ts, a_nd, a_ed, b_ts, b_nd, b_ed = o
+    valid = (total > 0).astype(jnp.float32)
+    fa = from_a.astype(jnp.float32)
+    src = fa * na_ref[:].astype(jnp.float32) \
+        + (1.0 - fa) * nb_ref[:].astype(jnp.float32)
+    src_out[:] = src * valid
+    nd_out[:] = (fa * a_nd + (1.0 - fa) * b_nd) * valid
+    ed_out[:] = (fa * a_ed + (1.0 - fa) * b_ed) * valid
+    ts_out[:] = (fa * a_ts + (1.0 - fa) * b_ts) * valid
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _sample_union_call(tbl, na, nb, tcut, empty_a, empty_b, u, n,
+                       interpret=False):
+    npad, c3 = tbl.shape
+    c = c3 // 3
+    q = na.shape[0]
+    qp = _round_up(q, _TQ)
+
+    def pad_i(x):
+        return jnp.zeros((qp, 1), jnp.int32).at[:q, 0].set(
+            x.astype(jnp.int32))
+
+    na_p, nb_p = pad_i(na), pad_i(nb)
+    ea_p = jnp.ones((qp, 1), jnp.int32).at[:q, 0].set(
+        empty_a.astype(jnp.int32))
+    eb_p = jnp.ones((qp, 1), jnp.int32).at[:q, 0].set(
+        empty_b.astype(jnp.int32))
+    tcut_p = jnp.full((qp, 1), -jnp.inf, jnp.float32).at[:q, 0].set(tcut)
+    u_p = jnp.zeros((qp, n), jnp.float32).at[:q].set(u)
+    kern = functools.partial(_sample_union_kernel, N=npad, C=c, n=n)
+    vec = pl.BlockSpec((_TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((_TQ, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    src, nd, ed, ts = pl.pallas_call(
+        kern,
+        grid=(qp // _TQ,),
+        in_specs=[
+            pl.BlockSpec((npad, c3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec, vec, vec, vec, mat,
+        ],
+        out_specs=[mat] * 4,
+        out_shape=[jax.ShapeDtypeStruct((qp, n), jnp.float32)] * 4,
+        interpret=interpret,
+    )(tbl, na_p, nb_p, tcut_p, ea_p, eb_p, u_p)
+    return (src[:q].astype(jnp.int32), nd[:q].astype(jnp.int32),
+            ed[:q].astype(jnp.int32), ts[:q])
+
+
+def sample_union(g, key, node_a, node_b, eid_cut, n_draws: int,
+                 interpret: bool | None = None):
+    """Fused get_next_step (utils/graph.py:308-333): ``n_draws`` uniform picks
+    from the union of node_a's and node_b's histories cut strictly before
+    edge ``eid_cut``. Returns (src, ngh, eid, ts), zero-padded where empty.
+
+    Bit-identical to the dense jnp path in ops/sampler.py given the same key.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q = node_a.shape[0]
+    u = jax.random.uniform(key, (q, n_draws))
+    t_cut = g.edge_ts[eid_cut.astype(jnp.int32)]
+    empty_a = (node_a == 0) | (eid_cut == 0)
+    empty_b = (node_b == 0) | (eid_cut == 0)
+    return _sample_union_call(_dense_table(g), node_a, node_b, t_cut,
+                              empty_a, empty_b, u, n_draws,
+                              interpret=interpret)

@@ -31,23 +31,23 @@ from ..data.graph import TemporalGraph
 
 
 def _dense_enabled(g) -> bool:
-    """Dense-path gate. The dense layout is CPU-proven (bit-identical to the
-    CSR path, tests/test_sampler.py) but the TPU AOT compile service shows
-    NONDETERMINISTIC multi-minute stalls on some dense-sampler graphs
-    (PERF.md "dense sampler" section: identical subgraphs compiled in 1 s or
-    204 s or not at all across runs), so it is opt-in until that pathology is
-    resolved: TEMPME_DENSE_SAMPLER=1 enables, =0 disables, unset = CPU only.
-    """
-    import os
+    """Dense XLA-path gate: CPU only. On TPU the dense math runs as the
+    Pallas sampling kernel instead (ops/pallas/sample_kernel.py), which is
+    opaque to the XLA fusion pathology that made the un-kerneled dense
+    expression hit nondeterministic multi-minute compile stalls (PERF.md r3
+    "dense sampler" — resolved in r4 by the kernel; the old
+    TEMPME_DENSE_SAMPLER opt-in gate is gone)."""
     if g.dense_ts is None:
-        return False
-    env = os.environ.get("TEMPME_DENSE_SAMPLER", "")
-    if env == "1":
-        return True
-    if env == "0":
         return False
     import jax
     return jax.default_backend() == "cpu"
+
+
+def _kernel_enabled(g) -> bool:
+    """Pallas sampling-kernel gate (TPU default; TEMPME_SAMPLE_KERNEL=0
+    disables, =1 forces interpret-mode on CPU for parity tests)."""
+    from .pallas import sample_kernel as SK
+    return SK.available(g)
 
 
 class Subgraph(NamedTuple):
@@ -171,7 +171,16 @@ def sample_neighbors(g: TemporalGraph, key, nodes: jnp.ndarray,
       branch except its draws are NOT sorted (the reference sorts only the
       multinomial branch, utils/graph.py:219-227).
     """
-    # Dense fast path (small graphs, uniform mode): one-hot matmul row
+    # Pallas fused sampling kernel (TPU): bisect + pick + 3 row gathers in
+    # one VMEM-resident pass — the critical-path kernel SURVEY §7.3 calls
+    # for. Bit-identical to the CSR path given the same key.
+    if _kernel_enabled(g) and sample_method != "binary" and bias == 0.0:
+        from .pallas import sample_kernel as SK
+        t_cut = times if eids is None else g.edge_ts[eids.astype(jnp.int32)]
+        force = None if eids is None else ((nodes == 0) | (eids == 0))
+        return SK.sample_rows(g, key, nodes, t_cut, n, force_empty=force)
+
+    # Dense fast path (small graphs, uniform mode, CPU): one-hot matmul row
     # fetches from the padded [N, C] layout + row-local take_along_axis —
     # no bisect loop, no random CSR gathers (PERF.md: those are
     # DMA-descriptor-bound). Draws the same uniforms as the CSR path, so
@@ -293,6 +302,11 @@ def _union_uniform_sample(g: TemporalGraph, key,
     empty.
     """
     q = node_a.shape[0]
+    if _kernel_enabled(g):
+        # Pallas fused union-sampling kernel (TPU) — bit-identical to the
+        # dense/CSR paths given the same key.
+        from .pallas import sample_kernel as SK
+        return SK.sample_union(g, key, node_a, node_b, eid_cut, n_draws)
     if _dense_enabled(g):
         # dense fast path: fetch both nodes' padded rows (one-hot matmuls),
         # count cuts, pick within-row positions — bit-identical draws to the

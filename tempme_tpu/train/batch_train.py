@@ -19,6 +19,9 @@ def main(argv=None):
     p.add_argument("--bs", type=int, default=256)
     p.add_argument("--exp_bs", type=int, default=100)
     p.add_argument("--skip_enhance", action="store_true")
+    p.add_argument("--n_layer", type=int, default=None,
+                   help="base model depth; default = reference per-model "
+                        "defaults (3 for tgat per learn_base.py:36, else 2)")
     args = p.parse_args(argv)
 
     results = {}
@@ -26,11 +29,13 @@ def main(argv=None):
         t0 = time.time()
         stage_results = {}
         try:
+            n_layer = args.n_layer if args.n_layer is not None else (
+                3 if base_type == "tgat" else 2)
             from .learn_base import main as learn_main
             stage_results["base_ap"] = learn_main([
                 "--data", args.data, "--base_type", base_type,
                 "--n_epoch", str(args.n_epoch_base), "--bs", str(args.bs),
-                "--n_layer", "2"])
+                "--n_layer", str(n_layer)])
             from .temp_exp_main import main as exp_main
             stage_results["explainer_score"] = exp_main([
                 "--data", args.data, "--base_type", base_type,

@@ -113,17 +113,6 @@ def sample_explainer_inputs(g, key, batch: loops.Batch, dst_table, n_degree,
     return bgd, (s_src, s_tgt, s_bgd), (w_src, w_tgt, w_bgd)
 
 
-def explanation_from_imp(explainer, exp_params, feats, subs, walks, imps, key,
-                         training: bool):
-    return explainer.apply(
-        exp_params, feats,
-        subs[0], imps[0], walks[0], subs[1], imps[1], walks[1],
-        subs[2], imps[2], walks[2],
-        training=training, deterministic=not training,
-        rngs={"sample": key} if training else None,
-        method=TempME.retrieve_explanation)
-
-
 def mask_supports_for_ratios(explanation, subs, ratios, n_degree, base_type):
     """Vectorized threshold_test masking (temp_exp_main.py:159-241): for each
     ratio keep the top-k most important support edges (zero out the others'
