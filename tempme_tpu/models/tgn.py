@@ -94,6 +94,21 @@ class TGNAttnLayer(nn.Module):
         out = out.squeeze(1)
         return self.merger(out, src_feat), attn
 
+    def multi_mask(self, src_feat, src_time_emb, k_nv, v_nv, k_ev, v_ev,
+                   ngh_time_emb, q_keep, kv_keep):
+        """Shared-projection attention under R simultaneous keep masks (ratio
+        sweep): q_keep [R, Bq], kv_keep [R, Bq, n] -> [R, Bq, node_dim].
+        Dropped entries behave exactly like node-id-0 padding (zero node
+        features, masked scores) — see SplitTemporalAttention.multi_mask."""
+        q_node = src_feat[:, None, :]
+        out = self.attn.multi_mask(q_node, src_time_emb,
+                                   k_nv, v_nv, k_ev, v_ev, ngh_time_emb,
+                                   q_keep[..., None],
+                                   kv_keep)
+        out = out.squeeze(2)                         # [R, Bq, d_model]
+        src_r = src_feat[None] * q_keep[..., None].astype(src_feat.dtype)
+        return self.merger(out, src_r)
+
 
 class TGN(nn.Module):
     """Config variants mirror the reference factories:
@@ -303,6 +318,88 @@ class TGN(nn.Module):
                            explain_weight=ew, deterministic=deterministic)
             prev_emb = out
         return prev_emb                      # [B, node_dim]
+
+    def _ratio_embed(self, feats: Features, memory, anchors, cut_time,
+                     sub: Subgraph, keeps):
+        """2-hop embedding under R simultaneous ratio masks
+        (threshold_test semantics, temp_exp_main.py:159-241): ``keeps`` is a
+        per-hop list of [R, B, width] bools; an un-kept edge behaves exactly
+        like node-id-0 padding (masked out of its level's attention; its
+        features never contribute because masked scores kill them).
+
+        Everything ratio-INVARIANT — gathers, table projections, time
+        encodings, hop-1 attention scores — is computed ONCE; only
+        mask/softmax/value-sum and the narrow hop-0 level carry the R axis.
+        Returns [R, B, node_dim]."""
+        assert self.n_layers == 2 and len(sub.nodes) >= 2
+        b = anchors.shape[0]
+        n = sub.nodes[0].shape[1]
+        r = keeps[0].shape[0]
+        combined = feats.node + memory
+        tfeats = []
+        standard = cut_time[:, None]
+        for t_rec in sub.ts[:2]:
+            delta = standard[:, :, None] - t_rec.reshape(b, -1, n)
+            tfeats.append(self.time_encoder(delta.reshape(b, -1)))
+            standard = t_rec
+
+        # ---- deepest level (hop-1 children -> hop-0 parents), shared scores
+        layer2 = self.attn_layers[0]
+        bq = b * n
+        src_feat2 = gather_rows(combined, sub.nodes[0]).reshape(bq,
+                                                                self.node_dim)
+        src_t2 = self.time_encoder(jnp.zeros((bq, 1), jnp.float32))
+        k_tab, v_tab = layer2.project_node_table(combined)
+        k_nv2 = gather_rows(k_tab, sub.nodes[1]).reshape(bq, n, -1)
+        v_nv2 = gather_rows(v_tab, sub.nodes[1]).reshape(bq, n, -1)
+        e_raw2 = gather_rows(feats.edge, sub.eids[1]).reshape(bq, n, -1)
+        k_ev2, v_ev2 = layer2.project_edge(e_raw2)
+        e_t2 = tfeats[1].reshape(bq, n, -1)
+        q_keep2 = (keeps[0] & (sub.nodes[0] != 0)).reshape(r, bq)
+        kv_keep2 = (keeps[1] & (sub.nodes[1] != 0)).reshape(r, bq, n)
+        emb0 = layer2.multi_mask(src_feat2, src_t2, k_nv2, v_nv2, k_ev2,
+                                 v_ev2, e_t2, q_keep2, kv_keep2)  # [R,bq,Dn]
+
+        # ---- hop-0 level: R folds into the batch (narrow: n keys/anchor)
+        layer1 = self.attn_layers[1]
+        src_feat1 = gather_rows(combined, anchors[:, None]).reshape(
+            b, self.node_dim)
+        src_t1 = self.time_encoder(jnp.zeros((b, 1), jnp.float32))
+        e_raw1 = gather_rows(feats.edge, sub.eids[0]).reshape(b, n, -1)
+        k_ev1, v_ev1 = layer1.project_edge(e_raw1)
+        e_t1 = tfeats[0].reshape(b, n, -1)
+        k_nv1, v_nv1 = layer1.project_node(emb0.reshape(r * b, n, -1))
+
+        def tile(x):
+            return jnp.broadcast_to(x[None], (r,) + x.shape).reshape(
+                (r * x.shape[0],) + x.shape[1:])
+
+        mask1 = ((sub.nodes[0] == 0)[None] | ~keeps[0]).reshape(r * b, n)
+        out, _ = layer1(tile(src_feat1), tile(src_t1), k_nv1, v_nv1,
+                        tile(k_ev1), tile(v_ev1), tile(e_t1), mask1,
+                        deterministic=True)
+        return out.reshape(r, b, self.node_dim)
+
+    def ratio_contrast(self, feats: Features, state: TGNMemoryState,
+                       src, tgt, bgd, cut_time,
+                       sub_src, sub_tgt, sub_bgd,
+                       keeps_src, keeps_tgt, keeps_bgd):
+        """Frozen-base fidelity ratio sweep: (pos, neg) logits [R, B] under R
+        per-hop keep masks per side, sharing all ratio-invariant base work
+        (replaces R stacked ``contrast`` calls). Memory is advanced
+        (get_updated_memory) but never persisted — forbidden_memory_update
+        semantics (temp_exp_main.py:703-704)."""
+        assert self.embedding_type == "graph_attention"
+        upd_memory, _ = self.updated_memory(state)
+        s = self._ratio_embed(feats, upd_memory, src, cut_time, sub_src,
+                              keeps_src)
+        t = self._ratio_embed(feats, upd_memory, tgt, cut_time, sub_tgt,
+                              keeps_tgt)
+        n = self._ratio_embed(feats, upd_memory, bgd, cut_time, sub_bgd,
+                              keeps_bgd)
+        pos = self.affinity_score(s, t).squeeze(-1)          # [R, B]
+        neg = self.affinity_score(s, n).squeeze(-1)
+        return pos, neg
 
     # ------------------------------------------------------------------
     # public API

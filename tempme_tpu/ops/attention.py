@@ -189,3 +189,61 @@ class SplitTemporalAttention(nn.Module):
         out = self.drop(out, deterministic=deterministic)
         out = self.ln(out.astype(jnp.float32) + residual)
         return out, attn.reshape(b, nq, h, n)
+
+    def multi_mask(self, q_node, q_time, k_nv, v_nv, k_ev, v_ev, ngh_time,
+                   q_keep, kv_keep):
+        """Ratio-sweep form (temp_exp_main.py:153-272 -> VERDICT r3 weak#3):
+        the 16-ratio fidelity sweep re-ran the whole base per ratio, but the
+        ratio only changes WHICH node ids are zeroed. Gathers, projections and
+        time encodings are computed once; per ratio only cheap elementwise
+        keep-scaling + score/softmax/value einsums run.
+
+        Exact threshold-test semantics: a dropped edge's node id becomes 0
+        (temp_exp_main.py:168-188), i.e. its NODE features become the zero
+        row while its edge/time features stay real. Because the node
+        projections are bias-free linears, project(0-row) == 0 ==
+        project(x) * 0 — so multiplying the projected node parts by the keep
+        indicator reproduces the masked forward exactly, including degenerate
+        all-masked softmax rows where the uniform attention averages real
+        edge/time values.
+
+        ``q_keep`` [R, B, Nq] / ``kv_keep`` [R, B, Nq*n]: 1.0 = kept (pad
+        rows must be 0). Eval-only (no dropout, no explain weights). Returns
+        [R, B, Nq, d_model]."""
+        b, nq, _ = q_node.shape
+        n = k_nv.shape[1] // nq
+        h, dk = self.n_head, self.d_k
+        r = q_keep.shape[0]
+        cd = self.compute_dtype
+
+        q_np = self.wq_node(q_node.astype(cd))            # shared projections
+        q_tp = self.wq_time(q_time.astype(cd))
+        tt = ngh_time.astype(cd)
+        k_t = self.wk_time(tt)
+        v_t = self.wv_time(tt)
+        if k_ev is not None:
+            k_t = k_t + k_ev
+            v_t = v_t + v_ev
+
+        qk = q_keep.astype(cd)[..., None]                 # [R, B, Nq, 1]
+        kk = kv_keep.astype(cd).reshape(r, b, nq, n, 1)
+        q_r = q_np[None] * qk + q_tp[None]                # [R, B, Nq, h*dk]
+        k_r = k_nv.reshape(1, b, nq, n, -1) * kk + k_t.reshape(b, nq, n, -1)
+        v_r = v_nv.reshape(1, b, nq, n, -1) * kk + v_t.reshape(b, nq, n, -1)
+
+        qh = q_r.reshape(r, b, nq, h, dk)
+        kh = k_r.reshape(r, b, nq, n, h, dk)
+        vh = v_r.reshape(r, b, nq, n, h, dk)
+        scores = jnp.einsum("rbqhd,rbqnhd->rbqhn", qh, kh,
+                            preferred_element_type=jnp.float32)
+        scores = scores / np.sqrt(dk).astype(np.float32)
+        masked = kv_keep.reshape(r, b, nq, 1, n) == 0
+        scores = jnp.where(masked, -1e10, scores)
+        attn = nn.softmax(scores, axis=-1)                # [R, B, Nq, h, n]
+        out = jnp.einsum("rbqhn,rbqnhd->rbqhd", attn.astype(vh.dtype), vh,
+                         preferred_element_type=jnp.float32)
+        out = self.fc(out.reshape(r, b, nq, h * dk).astype(cd))
+        residual = jnp.concatenate(
+            [q_node[None] * qk.astype(q_node.dtype),
+             jnp.broadcast_to(q_time[None], (r,) + q_time.shape)], axis=-1)
+        return self.ln(out.astype(jnp.float32) + residual)

@@ -120,15 +120,20 @@ def make_sharded_explainer_train_step(explainer, contrast, g: TemporalGraph,
 
     ``contrast`` is a frozen-base contrast fn from
     ``train.temp_exp_main.make_base_contrast``; ``explainer`` is a TempME
-    (tgn/graphmixer variant) whose params the step optimizes. Batch rides dp;
-    walk (W=90) and support (n, n²) axes ride sp; explainer params are small
-    and stay replicated (tp shards the feature tables only).
+    (tgn/graphmixer) OR TempMETGAT instance whose params the step optimizes
+    (dispatch on the class — their importance-forward signatures differ,
+    models/explainer.py:174 vs :513). Batch rides dp; walk (W=90) and support
+    (n, n²) axes ride sp; explainer params are small and stay replicated
+    (tp shards the feature tables only).
 
     Returns (step, place, place_batch).
     """
-    from ..explain.tempme import TempME, kl_sparsity_loss
+    from ..explain.tempme import kl_sparsity_loss
+    from ..explain.tempme_tgat import TempMETGAT
     from ..train.temp_exp_main import sample_explainer_inputs
 
+    cls = type(explainer)
+    is_tgat = isinstance(explainer, TempMETGAT)
     repl = M.replicated(mesh)
     bsh = M.batch_sharding(mesh)
 
@@ -140,12 +145,19 @@ def make_sharded_explainer_train_step(explainer, contrast, g: TemporalGraph,
     def place_batch(batch: loops.Batch) -> loops.Batch:
         return loops.Batch(*(jax.device_put(x, bsh) for x in batch))
 
-    def apply_imps(ep, walks, ts, drop_key):
+    def apply_imps(ep, walks, batch, bgd, drop_key):
+        sides = [(walks[0], batch.src, batch.dst),
+                 (walks[1], batch.dst, batch.src),
+                 (walks[2], bgd, batch.src)]
         out = []
-        for i, w in enumerate(walks):
-            out.append(explainer.apply(
-                ep, feats, w, ts, deterministic=False,
-                rngs={"dropout": jax.random.fold_in(drop_key, i)}))
+        for i, (w, a, b) in enumerate(sides):
+            rngs = {"dropout": jax.random.fold_in(drop_key, i)}
+            if is_tgat:
+                out.append(explainer.apply(ep, feats, w, a, batch.ts, b,
+                                           deterministic=False, rngs=rngs))
+            else:
+                out.append(explainer.apply(ep, feats, w, batch.ts,
+                                           deterministic=False, rngs=rngs))
         return out
 
     @jax.jit
@@ -160,14 +172,14 @@ def make_sharded_explainer_train_step(explainer, contrast, g: TemporalGraph,
         y_ori = (jnp.concatenate([pos_ori, neg_ori]) > 0.0).astype(jnp.float32)
 
         def loss_fn(ep):
-            imps = apply_imps(ep, walks, batch.ts, k_drop)
+            imps = apply_imps(ep, walks, batch, bgd, k_drop)
             explanation = explainer.apply(
                 ep, feats, subs[0], imps[0], walks[0], subs[1], imps[1],
                 walks[1], subs[2], imps[2], walks[2], training=True,
                 deterministic=False,
                 rngs={"sample": k_beta,
                       "dropout": jax.random.fold_in(k_drop, 7)},
-                method=TempME.retrieve_explanation)
+                method=cls.retrieve_explanation)
             pos, neg = contrast(batch.src, batch.dst, bgd, batch.ts,
                                 batch.eidx, *subs, explanation)
             pred = jnp.concatenate([pos, neg])
@@ -180,5 +192,85 @@ def make_sharded_explainer_train_step(explainer, contrast, g: TemporalGraph,
         updates, opt_state2 = optimizer.update(grads, opt_state, exp_params)
         exp_params2 = optax.apply_updates(exp_params, updates)
         return exp_params2, opt_state2, k_next, loss
+
+    return step, place, place_batch
+
+
+def make_sharded_enhance_train_step(base, predictor, g: TemporalGraph,
+                                    feats: Features, dst_table,
+                                    n_degree: int, node_degree, optimizer,
+                                    mesh):
+    """The enhance stage (reference enhance_main.py:276-366) over the mesh:
+    joint {base, predictor} optimization, fresh walk sampling, base
+    ``get_node_emb`` + motif-level ``enhance_predict_agg`` -> BCE on true
+    labels. TGN memory rides the row-sharded memory table (msh); batch rides
+    dp; walk/support axes ride sp.
+
+    ``base`` is a train.base_loader.LoadedBase (tgn or graphmixer).
+    Returns (step, place, place_batch)."""
+    from ..explain.tempme import TempME
+    from ..train.temp_exp_main import sample_explainer_inputs
+
+    is_tgn = base.base_type == "tgn"
+    repl = M.replicated(mesh)
+    bsh = M.batch_sharding(mesh)
+    msh = M.memory_sharding(mesh)
+
+    def place(all_params, opt_state, mem, key):
+        all_params = {"base": M.shard_params_tp(all_params["base"], mesh),
+                      "predictor": jax.device_put(all_params["predictor"],
+                                                  repl)}
+        opt_state = jax.device_put(opt_state, repl)
+        if mem is not None:
+            mem = mem._replace(
+                memory=jax.device_put(mem.memory, msh),
+                last_update=jax.device_put(mem.last_update, repl),
+                msg_buf=jax.device_put(mem.msg_buf, msh),
+                msg_ts=jax.device_put(mem.msg_ts, repl),
+                msg_valid=jax.device_put(mem.msg_valid, repl))
+        return all_params, opt_state, mem, jax.device_put(key, repl)
+
+    def place_batch(batch: loops.Batch) -> loops.Batch:
+        return loops.Batch(*(jax.device_put(x, bsh) for x in batch))
+
+    @jax.jit
+    def step(params, opt_state, mem, key, batch: loops.Batch):
+        k_samp, k_drop1, k_drop2, k_next = jax.random.split(key, 4)
+        bgd, subs, walks = sample_explainer_inputs(g, k_samp, batch,
+                                                   dst_table, n_degree)
+        subs = tuple(constrain_support(s, mesh) for s in subs)
+        walks = tuple(constrain_walks(w, mesh) for w in walks)
+
+        def loss_fn(ps):
+            if is_tgn:
+                (s, t, b), new_mem = base.model.apply(
+                    ps["base"], feats, mem, batch.src, batch.dst, bgd,
+                    batch.ts, batch.eidx, *subs, update_memory=True,
+                    deterministic=False, rngs={"dropout": k_drop1},
+                    method=type(base.model).get_node_emb)
+            else:
+                s, t, b = base.model.apply(
+                    ps["base"], feats, batch.src, batch.dst, bgd, batch.ts,
+                    *subs, deterministic=False, rngs={"dropout": k_drop1},
+                    method=type(base.model).get_node_emb)
+                new_mem = mem
+            pos, neg = predictor.apply(
+                ps["predictor"], feats, batch.ts, walks[0], walks[1],
+                walks[2], s, t, b, node_degree=node_degree,
+                deterministic=False, rngs={"dropout": k_drop2},
+                method=TempME.enhance_predict_agg)
+            loss = (optax.sigmoid_binary_cross_entropy(
+                        pos, jnp.ones_like(pos)).mean()
+                    + optax.sigmoid_binary_cross_entropy(
+                        neg, jnp.zeros_like(neg)).mean())
+            return loss, new_mem
+
+        (loss, new_mem), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        if is_tgn:
+            new_mem = loops.scrub_padding_row(new_mem)
+        return params2, opt_state2, new_mem, k_next, loss
 
     return step, place, place_batch

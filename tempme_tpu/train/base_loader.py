@@ -37,7 +37,8 @@ def load_base(ckpt_path: str, feats: Features) -> LoadedBase:
                      agg_method=meta.get("agg_method", "attn"),
                      attn_mode=meta.get("attn_mode", "prod"),
                      use_time=meta.get("use_time", "time"),
-                     pos_seq_len=meta.get("pos_seq_len", 1024))
+                     pos_seq_len=meta.get("pos_seq_len", 1024),
+                     remat=meta["n_layer"] >= 3)
         template = _init_stateless(model, feats, meta, key)
         params = load_params(ckpt_path, template)
         return LoadedBase(base_type, model, params, None, meta)

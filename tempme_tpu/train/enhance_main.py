@@ -86,9 +86,20 @@ def main(argv=None):
     pred_params = predictor.init({"params": key}, feats, walks0[0], b0.ts,
                                  subs0[0], method=TempME.init_all)
 
-    # joint optimization over predictor + base (enhance_main.py:305)
+    # joint optimization over predictor + base (enhance_main.py:305).
+    # --weight_decay decays ONLY the fresh predictor head — the documented
+    # enhance-overfit lever (VERDICT r3 next#3); the pretrained base is
+    # never decayed.
     all_params = {"predictor": pred_params, "base": base.params}
-    optimizer = optax.adam(args.lr)
+    if args.weight_decay:
+        def _decay_mask(p):
+            return {"base": jax.tree.map(lambda _: False, p["base"]),
+                    "predictor": jax.tree.map(lambda _: True,
+                                              p["predictor"])}
+        optimizer = optax.adamw(args.lr, weight_decay=args.weight_decay,
+                                mask=_decay_mask)
+    else:
+        optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(all_params)
     is_tgn = base.base_type == "tgn"
     mem0 = base.memory
@@ -157,7 +168,7 @@ def main(argv=None):
             method=TempME.enhance_predict_agg)
         return pos.squeeze(-1), neg.squeeze(-1), new_mem
 
-    best_ap, best_auc = 0.0, 0.0
+    best_ap, best_auc, best_val = 0.0, 0.0, 0.0
     ckpt = osp.join(args.ckpt_dir, "enhance", args.base_type,
                     f"{args.data}.msgpack")
     logger = MetricsLogger(
@@ -182,31 +193,41 @@ def main(argv=None):
             l = np.r_[np.ones(args.bs), np.zeros(args.bs)]
             aps.append(M.average_precision_score(l, s))
         dt = time.time() - t0
-        # eval with memory backup/restore (enhance_main.py:396-401)
+        # eval with memory backup/restore (enhance_main.py:396-401);
+        # selection on VAL, memory advancing val -> test in time order
+        # (test-selection not copied from the reference, VERDICT r3 weak#6)
         mem_backup = mem
-        scores, labels = [], []
-        ekey = jax.random.PRNGKey(999)
-        for batch in loops.iter_batches(ds.test, args.bs, shuffle=False,
-                                        seed=0, drop_remainder=False):
-            ekey, sub = jax.random.split(ekey)
-            pos, neg, mem = eval_step(all_params, mem, sub, batch)
-            m = np.asarray(batch.mask)
-            scores.append(np.r_[jax.nn.sigmoid(np.asarray(pos))[m],
-                                jax.nn.sigmoid(np.asarray(neg))[m]])
-            labels.append(np.r_[np.ones(int(m.sum())),
-                                np.zeros(int(m.sum()))])
+
+        def eval_split(events, mem):
+            scores, labels = [], []
+            ekey = jax.random.PRNGKey(999)
+            for batch in loops.iter_batches(events, args.bs, shuffle=False,
+                                            seed=0, drop_remainder=False):
+                ekey, sub = jax.random.split(ekey)
+                pos, neg, mem = eval_step(all_params, mem, sub, batch)
+                m = np.asarray(batch.mask)
+                scores.append(np.r_[jax.nn.sigmoid(np.asarray(pos))[m],
+                                    jax.nn.sigmoid(np.asarray(neg))[m]])
+                labels.append(np.r_[np.ones(int(m.sum())),
+                                    np.zeros(int(m.sum()))])
+            s, l = np.concatenate(scores), np.concatenate(labels)
+            return (M.average_precision_score(l, s),
+                    M.roc_auc_score(l, s), mem)
+
+        val_ap, val_auc, mem = eval_split(ds.val, mem)
+        test_ap, test_auc, mem = eval_split(ds.test, mem)
         mem = mem_backup
-        s, l = np.concatenate(scores), np.concatenate(labels)
-        test_ap = M.average_precision_score(l, s)
-        test_auc = M.roc_auc_score(l, s)
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
-              f"train_ap={np.mean(aps):.4f} test_ap={test_ap:.4f} "
-              f"test_auc={test_auc:.4f} ({n_ev / dt:,.0f} events/s)")
+              f"train_ap={np.mean(aps):.4f} val_ap={val_ap:.4f} "
+              f"test_ap={test_ap:.4f} test_auc={test_auc:.4f} "
+              f"({n_ev / dt:,.0f} events/s)")
         logger.add_scalars("Train", {"loss": float(np.mean(losses)),
                                      "ap": float(np.mean(aps))}, epoch)
+        logger.add_scalars("Val", {"ap": val_ap, "auc": val_auc}, epoch)
         logger.add_scalars("Test", {"ap": test_ap, "auc": test_auc}, epoch)
         logger.flush()
-        if test_ap > best_ap:
+        if val_ap > best_val:
+            best_val = val_ap
             best_ap, best_auc = test_ap, test_auc
             save_params(ckpt, all_params,
                         meta=dict(base_type=args.base_type, data=args.data,

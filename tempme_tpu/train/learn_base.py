@@ -82,7 +82,10 @@ def build_model(mc, node_dim: int, edge_dim: int):
                     num_layers=mc.n_layers, n_head=mc.n_heads,
                     dropout=mc.dropout, agg_method=mc.agg_method,
                     attn_mode=mc.attn_mode, use_time=mc.use_time,
-                    pos_seq_len=pos_len), mc.n_layers
+                    pos_seq_len=pos_len,
+                    # 3-layer support (30+900+27000 events/side) only fits
+                    # one chip's HBM with per-level rematerialization
+                    remat=mc.n_layers >= 3), mc.n_layers
     if mc.base_type == "graphmixer":
         from ..models.graphmixer import GraphMixer
         return GraphMixer(node_dim=node_dim, edge_dim=edge_dim,
@@ -187,13 +190,36 @@ def main(argv=None):
     logger = MetricsLogger(
         args.log_dir,
         run_name=time.strftime(f"{args.base_type}_{args.data}_%Y%m%d_%H%M%S"))
-    epoch_fn = loops.make_base_train_epoch(train_step)
+    # The scanned epoch (one dispatch per epoch) is the default. The 3-layer
+    # rematted TGAT step runs fine stepwise but hits a TPU runtime device
+    # fault when the SAME step is wrapped in the epoch lax.scan (bisected in
+    # r4: sample/fwd/bwd/5x full step all ok at bs=32, scan faults —
+    # PERF.md "3-layer TGAT"). Per-batch stepping costs only dispatch
+    # latency (~ms against a ~750 ms step), so deep TGAT steps per batch.
+    use_scan = not (args.base_type == "tgat" and k >= 3)
+    epoch_fn = loops.make_base_train_epoch(train_step) if use_scan else None
+    from ..utils import debug
+    if debug.enabled():
+        debug.install()
     for epoch in range(start_epoch, args.n_epoch):
         t0 = time.time()
         batches = loops.stack_batches(ds.train, args.bs, shuffle=True,
                                       seed=args.seed + epoch)
-        state, auxs = epoch_fn(state, batches)
+        prev_state = state
+        if use_scan:
+            state, auxs = epoch_fn(state, batches)
+        else:
+            aux_list = []
+            for i in range(batches.src.shape[0]):
+                b_i = loops.Batch(*(x[i] for x in batches))
+                state, aux = train_step(state, b_i)
+                aux_list.append(aux)
+            auxs = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_list)
         jax.block_until_ready(auxs["loss"])
+        if debug.enabled():
+            if use_scan:
+                debug.assert_donated(prev_state, where="base epoch scan")
+            debug.check_finite(state.params, "params after epoch")
         dt = time.time() - t0
         n_batches = batches.src.shape[0]
         n_events = n_batches * args.bs
@@ -206,19 +232,25 @@ def main(argv=None):
             l = np.r_[np.ones(args.bs), np.zeros(args.bs)]
             aps.append(M.average_precision_score(l, s))
             aucs.append(M.roc_auc_score(l, s))
+        # model selection + early stopping on VAL; test is reported only
+        # (the reference selects on test, temp_exp_main.py:534-541 /
+        # learn_base.py:271-278 — a methodological bug we do not copy,
+        # VERDICT r3 weak#6)
+        val = evaluate(eval_step, state.params, ds.val, args.bs)
         test = evaluate(eval_step, state.params, ds.test, args.bs)
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
-              f"train_ap={np.mean(aps):.4f} train_auc={np.mean(aucs):.4f} "
+              f"train_ap={np.mean(aps):.4f} val_ap={val['ap']:.4f} "
               f"test_ap={test['ap']:.4f} test_auc={test['auc']:.4f} "
               f"({n_events / dt:,.0f} events/s)")
         logger.add_scalars("Train", {"loss": float(np.mean(losses)),
                                      "ap": float(np.mean(aps)),
                                      "auc": float(np.mean(aucs)),
                                      "events_per_s": n_events / dt}, epoch)
+        logger.add_scalars("Val", val, epoch)
         logger.add_scalars("Test", test, epoch)
         logger.flush()
-        if best is None or test["ap"] > best["ap"]:
-            best = test
+        if best is None or val["ap"] > best.get("val_ap", float("-inf")):
+            best = dict(test, val_ap=val["ap"])
             meta = dict(base_type=args.base_type, data=args.data,
                         n_degree=args.n_degree, n_layer=k,
                         n_head=args.n_head, drop_out=args.drop_out,
@@ -231,8 +263,8 @@ def main(argv=None):
                             pos_seq_len=max(64, cfg.model.n_degree))
             save_params(ckpt_path, state.params, meta=meta)
             print(f"  saved best checkpoint -> {ckpt_path} "
-                  f"(ap={best['ap']:.4f})")
-        stop = stopper.early_stop_check(test["ap"])
+                  f"(val_ap={best['val_ap']:.4f} test_ap={best['ap']:.4f})")
+        stop = stopper.early_stop_check(val["ap"])
         save_params(train_ckpt, {"params": state.params,
                                  "opt_state": state.opt_state,
                                  "key": state.key},

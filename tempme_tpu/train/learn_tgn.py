@@ -75,9 +75,12 @@ def make_tgn_eval_step(model, g_full, feats, dst_table, n):
     return step
 
 
-def evaluate_tgn(eval_step, params, mem, events, batch_size, seed=0):
-    """Evaluates on the test split, mutating a local copy of the memory
-    (caller keeps its own backup — reference learn_base.py:259-266)."""
+def evaluate_tgn(eval_step, params, mem, events, batch_size, seed=0,
+                 return_memory=False):
+    """Evaluates on a split, mutating a local copy of the memory (caller
+    keeps its own backup — reference learn_base.py:259-266).
+    ``return_memory=True`` also returns the post-eval memory so a subsequent
+    split (val -> test) can continue in time order."""
     scores, labels, masks = [], [], []
     key = jax.random.PRNGKey(seed)
     for batch in loops.iter_batches(events, batch_size, shuffle=False, seed=0,
@@ -91,9 +94,10 @@ def evaluate_tgn(eval_step, params, mem, events, batch_size, seed=0):
         masks.append(np.r_[m, m])
     s, l, m = (np.concatenate(scores), np.concatenate(labels),
                np.concatenate(masks))
-    return dict(ap=M.average_precision_score(l, s, m),
-                auc=M.roc_auc_score(l, s, m),
-                acc=M.accuracy_score(l, s, mask=m))
+    out = dict(ap=M.average_precision_score(l, s, m),
+               auc=M.roc_auc_score(l, s, m),
+               acc=M.accuracy_score(l, s, mask=m))
+    return (out, mem) if return_memory else out
 
 
 def main(args, cfg=None):
@@ -171,12 +175,21 @@ def main(args, cfg=None):
         args.log_dir,
         run_name=time.strftime(f"tgn_{args.data}_%Y%m%d_%H%M%S"))
     epoch_fn = loops.make_tgn_train_epoch(train_step)
+    from ..utils import debug
+    if debug.enabled():
+        debug.install()
     for epoch in range(start_epoch, args.n_epoch):
         t0 = time.time()
         batches = loops.stack_batches(ds.train, args.bs, shuffle=True,
                                       seed=args.seed + epoch)
+        prev_state, prev_mem = state, mem
         state, mem, auxs = epoch_fn(state, mem, batches)
         jax.block_until_ready(auxs["loss"])
+        if debug.enabled():
+            debug.assert_donated(prev_state, prev_mem,
+                                 where="tgn epoch scan")
+            debug.check_finite(state.params, "params after epoch")
+            debug.check_finite(mem.memory, "tgn memory after epoch")
         dt = time.time() - t0
         k = batches.src.shape[0]
         n_events = k * args.bs
@@ -189,18 +202,26 @@ def main(args, cfg=None):
             l = np.r_[np.ones(args.bs), np.zeros(args.bs)]
             aps.append(M.average_precision_score(l, s))
         mem_backup = mem                       # backup_memory
-        test = evaluate_tgn(eval_step, state.params, mem, ds.test, args.bs)
+        # selection/early-stop on VAL (test reported only — the reference's
+        # test-selection bug is not copied, VERDICT r3 weak#6). The memory
+        # advances train -> val -> test in time order, then restores.
+        val, mem_val = evaluate_tgn(eval_step, state.params, mem, ds.val,
+                                    args.bs, return_memory=True)
+        test = evaluate_tgn(eval_step, state.params, mem_val, ds.test,
+                            args.bs)
         mem = mem_backup                       # restore_memory
         print(f"epoch {epoch}: loss={np.mean(losses):.4f} "
-              f"train_ap={np.mean(aps):.4f} test_ap={test['ap']:.4f} "
-              f"test_auc={test['auc']:.4f} ({n_events / dt:,.0f} events/s)")
+              f"train_ap={np.mean(aps):.4f} val_ap={val['ap']:.4f} "
+              f"test_ap={test['ap']:.4f} test_auc={test['auc']:.4f} "
+              f"({n_events / dt:,.0f} events/s)")
         logger.add_scalars("Train", {"loss": float(np.mean(losses)),
                                      "ap": float(np.mean(aps)),
                                      "events_per_s": n_events / dt}, epoch)
+        logger.add_scalars("Val", val, epoch)
         logger.add_scalars("Test", test, epoch)
         logger.flush()
-        if best is None or test["ap"] > best["ap"]:
-            best = test
+        if best is None or val["ap"] > best.get("val_ap", float("-inf")):
+            best = dict(test, val_ap=val["ap"])
             # checkpoint carries the train-side memory state (the reference's
             # pickled module embeds its Memory parameter the same way,
             # learn_base.py:276)
@@ -220,7 +241,7 @@ def main(args, cfg=None):
                                   std_time_shift=list(std_shift)))
             print(f"  saved best checkpoint -> {ckpt_path} "
                   f"(ap={best['ap']:.4f})")
-        stop = stopper.early_stop_check(test["ap"])
+        stop = stopper.early_stop_check(val["ap"])
         save_params(train_ckpt, {"params": state.params,
                                  "opt_state": state.opt_state,
                                  "key": state.key, "memory": mem},

@@ -1,0 +1,100 @@
+"""TEMPME_DEBUG sanitizer mode (SURVEY.md §5.2; utils/debug.py):
+finiteness scans, donation-aliasing verification on the epoch scans, and the
+collective-count regression against committed goldens."""
+import functools
+import json
+import os.path as osp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tempme_tpu.utils import debug
+
+GOLDEN = osp.join(osp.dirname(__file__), "goldens", "collectives_2x1x1.json")
+
+
+def test_check_finite_names_offending_leaf():
+    good = {"a": jnp.ones((4,)), "b": {"c": jnp.zeros((2, 2))}}
+    debug.check_finite(good, "good tree")          # no raise
+    bad = {"a": jnp.ones((4,)),
+           "b": {"c": jnp.array([1.0, np.nan, 2.0, np.inf])}}
+    with pytest.raises(FloatingPointError, match=r"\['b'\]\['c'\]"):
+        debug.check_finite(bad, "bad tree")
+
+
+def test_assert_donated_detects_unconsumed_buffer():
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def f(x):
+        return x * 2.0
+
+    x = jnp.ones((512,))
+    _ = f(x)
+    debug.assert_donated(x, where="donating fn")    # consumed -> ok
+
+    y = jnp.ones((512,))
+    _ = jax.jit(lambda v: v * 2.0)(y)               # NOT donated
+    with pytest.raises(AssertionError, match="NOT consumed"):
+        debug.assert_donated(y, where="non-donating fn")
+
+
+def _compile_sharded_step_hlo(dp, sp, tp):
+    import __graft_entry__ as ge
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    from tempme_tpu.parallel import mesh as M
+    from tempme_tpu.parallel.train import make_sharded_tgn_train_step
+    from tempme_tpu.train import loops
+    from tempme_tpu.ops import sampler as S
+
+    need = dp * sp * tp
+    mesh = M.make_mesh(dp, sp, tp, devices=jax.devices()[:need])
+    dn = 16 * max(1, tp)
+    ev, g, feats = ge._tiny_setup(dn=dn, de=8)
+    b, n = 8 * dp, 4 * sp
+    model = TGN(node_dim=dn, edge_dim=8, num_nodes=g.num_nodes, n_layers=2,
+                n_head=2, dropout=0.0)
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    r = np.random.RandomState(2)
+    batch = loops.Batch(
+        src=jnp.asarray(r.randint(1, 32, b).astype(np.int32)),
+        dst=jnp.asarray(r.randint(1, 32, b).astype(np.int32)),
+        ts=jnp.asarray(np.full(b, float(ev.ts.max()) + 1, np.float32)),
+        eidx=jnp.asarray(r.randint(1, len(ev), b).astype(np.int32)),
+        mask=jnp.ones((b,), bool))
+    key = jax.random.PRNGKey(0)
+    subs = tuple(S.find_k_hop(g, jax.random.fold_in(key, i), batch.src,
+                              batch.ts, 2, n) for i in range(3))
+    params = model.init({"params": key, "dropout": key}, feats, mem,
+                        batch.src, batch.dst, batch.dst, batch.ts,
+                        batch.eidx, *subs, deterministic=True)
+    optimizer = optax.adam(1e-3)
+    with mesh:
+        step, place, place_batch = make_sharded_tgn_train_step(
+            model, g, feats, jnp.asarray(np.unique(ev.dst)), n, optimizer,
+            mesh)
+        p, o, m, k = place(params, optimizer.init(params), mem, key)
+        return step.lower(p, o, m, k, place_batch(batch)).compile().as_text()
+
+
+def test_collective_counts_match_golden():
+    """SCALING.md as a regression test (VERDICT r3 next#7): the dp=2 sharded
+    TGN step's collective census must match the committed golden. If a
+    sharding change intentionally moves collectives, regenerate with:
+    pytest tests/test_debug.py --regen-goldens (or delete the golden)."""
+    hlo = _compile_sharded_step_hlo(2, 1, 1)
+    got = debug.count_collectives(hlo)
+    if not osp.exists(GOLDEN):
+        import os
+        os.makedirs(osp.dirname(GOLDEN), exist_ok=True)
+        with open(GOLDEN, "w") as f:
+            json.dump(got, f, indent=1)
+        pytest.skip(f"golden created at {GOLDEN}; re-run to enforce")
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+    debug.assert_collectives(hlo, golden, where="tgn step dp=2")
+    # structural invariants that hold regardless of compiler version:
+    assert got["all-reduce"] >= 1, "dp=2 must all-reduce gradients"
+    assert got["reduce-scatter"] == 0

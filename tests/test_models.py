@@ -454,3 +454,92 @@ def test_tgn_padded_batch_does_not_pollute_memory():
     assert not bool(np.asarray(mem_pad.msg_valid)[0])
     np.testing.assert_array_equal(np.asarray(mem_pad.msg_buf[0]), 0.0)
     np.testing.assert_array_equal(np.asarray(mem_pad.memory[0]), 0.0)
+
+
+def test_tgat_remat_matches_no_remat(setup):
+    """remat=True must be a pure memory/recompute trade: outputs AND grads
+    match the remat=False model to f32 roundoff (XLA reorders fusions across
+    the remat boundary, so bit-exactness is not guaranteed)."""
+    g, feats, src, dst, ts, eidx, subs, events = setup
+    from tempme_tpu.models.tgat import TGAT
+    key = jax.random.PRNGKey(1)
+    sub3 = tuple(S.find_k_hop(g, jax.random.fold_in(key, i), x, ts, 3, N_DEG)
+                 for i, x in enumerate((src, dst, dst)))
+    base = TGAT(node_dim=DN, edge_dim=DE, num_layers=3, n_head=2, dropout=0.0)
+    rem = TGAT(node_dim=DN, edge_dim=DE, num_layers=3, n_head=2, dropout=0.0,
+               remat=True)
+    params = base.init(jax.random.PRNGKey(0), feats, src, dst, dst, ts, *sub3,
+                       deterministic=True)
+    params_r = rem.init(jax.random.PRNGKey(0), feats, src, dst, dst, ts,
+                        *sub3, deterministic=True)
+    assert jax.tree.structure(params) == jax.tree.structure(params_r)
+
+    def loss(m):
+        def f(p):
+            pos, neg = m.apply(p, feats, src, dst, dst, ts, *sub3,
+                               deterministic=True)
+            return jnp.mean(jax.nn.log_sigmoid(pos)) - \
+                jnp.mean(jax.nn.log_sigmoid(-neg))
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(base))(params)
+    l1, g1 = jax.value_and_grad(loss(rem))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-6)
+
+
+def test_tgn_ratio_contrast_matches_stacked_sweep(setup):
+    """The shared-work ratio sweep (TGN.ratio_contrast) must reproduce the
+    stacked masked-subgraph forward (threshold_test semantics,
+    temp_exp_main.py:159-241) for every ratio, including degenerate rows
+    where a kept parent has all children dropped."""
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    from tempme_tpu.train.temp_exp_main import (keep_masks_for_ratios,
+                                                mask_supports_for_ratios)
+    model = TGN(node_dim=DN, edge_dim=DE, num_nodes=g.num_nodes,
+                n_layers=2, n_head=2, dropout=0.0)
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    # non-trivial memory so the hop-0 q masking actually matters; row 0 stays
+    # zero (padding node never receives messages, so memory[0] == 0 by
+    # construction — the invariant the shared-work path relies on)
+    m = np.random.RandomState(5).randn(g.num_nodes, model.memory_dim) * 0.1
+    m[0] = 0.0
+    mem = mem._replace(memory=jnp.asarray(m.astype(np.float32)))
+    params = model.init(jax.random.PRNGKey(0), feats, mem, src, dst, dst, ts,
+                        eidx, *subs, deterministic=True)
+
+    ratios = (0.01, 0.05, 0.1, 0.2, 0.3)
+    r = len(ratios)
+    rng = np.random.RandomState(7)
+    # explanation: per hop [3B, width] importance in (0, 1)
+    explanation = [jnp.asarray(rng.rand(3 * B, N_DEG).astype(np.float32)),
+                   jnp.asarray(rng.rand(3 * B, N_DEG * N_DEG)
+                               .astype(np.float32))]
+
+    # fast path
+    keeps = keep_masks_for_ratios(explanation, ratios, N_DEG)
+    pos_f, neg_f = model.apply(params, feats, mem, src, dst, dst, ts,
+                               subs[0], subs[1], subs[2],
+                               keeps[0], keeps[1], keeps[2],
+                               method=TGN.ratio_contrast)
+
+    # reference stacked path
+    masked = mask_supports_for_ratios(explanation, subs, ratios, N_DEG, "tgn")
+
+    def tile(x):
+        return jnp.broadcast_to(x[None], (r,) + x.shape).reshape(
+            (-1,) + x.shape[1:])
+
+    (pos_s, neg_s), _ = model.apply(params, feats, mem, tile(src), tile(dst),
+                                    tile(dst), tile(ts), tile(eidx),
+                                    masked[0], masked[1], masked[2],
+                                    update_memory=False, deterministic=True,
+                                    method=TGN.contrast)
+    np.testing.assert_allclose(np.asarray(pos_f), np.asarray(pos_s)
+                               .reshape(r, B), rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(neg_f), np.asarray(neg_s)
+                               .reshape(r, B), rtol=2e-2, atol=2e-3)
