@@ -243,6 +243,115 @@ def _sample_union_call(tbl, na, nb, tcut, empty_a, empty_b, u, n,
             ed[:q].astype(jnp.int32), ts[:q])
 
 
+def _sample_masked_kernel(tbl_ref, na_ref, nb_ref, tcut_ref, ea_ref, eb_ref,
+                          va1_ref, va2_ref, vb1_ref, wc_ref, ga_ref, gb_ref,
+                          src_out, nd_out, ed_out, ts_out, fnd_out,
+                          *, N, C):
+    neg_inf = jnp.float32(-jnp.inf)
+    ats, andd, aed = _fetch_rows(tbl_ref, na_ref[:, 0], N, C)
+    bts, bnd, bed = _fetch_rows(tbl_ref, nb_ref[:, 0], N, C)
+    t = tcut_ref[:]
+    in_a = (ats < t) & (ea_ref[:] == 0)
+    in_b = (bts < t) & (eb_ref[:] == 0)
+    wc = wc_ref[:] != 0
+    match_a = wc | (andd == va1_ref[:].astype(jnp.float32)) \
+        | (andd == va2_ref[:].astype(jnp.float32))
+    match_b = wc | (bnd == vb1_ref[:].astype(jnp.float32))
+    sc_a = jnp.where(in_a & match_a, ga_ref[:], neg_inf)
+    sc_b = jnp.where(in_b & match_b, gb_ref[:], neg_inf)
+    best_a = jnp.max(sc_a, axis=1, keepdims=True)        # [TQ, 1]
+    best_b = jnp.max(sc_b, axis=1, keepdims=True)
+    ja = jnp.argmax(sc_a, axis=1)[:, None]               # [TQ, 1]
+    jb = jnp.argmax(sc_b, axis=1)[:, None]
+    from_a = best_a >= best_b
+    found = jnp.maximum(best_a, best_b) > neg_inf        # [TQ, 1]
+    o = _select_cols(jnp.concatenate([ja, jb], axis=1), 2,
+                     ats, andd, aed, bts, bnd, bed)
+    a_ts, a_nd, a_ed, b_ts, b_nd, b_ed = o               # each [TQ, 2]
+    fa = from_a.astype(jnp.float32)
+    fv = found.astype(jnp.float32)
+
+    def pick(a, b):                                      # column 0 = ja side
+        return (fa * a[:, :1] + (1.0 - fa) * b[:, 1:2]) * fv
+
+    src = fa * na_ref[:].astype(jnp.float32) \
+        + (1.0 - fa) * nb_ref[:].astype(jnp.float32)
+    src_out[:] = src * fv
+    nd_out[:] = pick(a_nd, b_nd)
+    ed_out[:] = pick(a_ed, b_ed)
+    ts_out[:] = pick(a_ts, b_ts)
+    fnd_out[:] = fv
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _sample_masked_call(tbl, na, nb, tcut, empty_a, empty_b,
+                        va1, va2, vb1, wildcard, gum_a, gum_b,
+                        interpret=False):
+    npad, c3 = tbl.shape
+    c = c3 // 3
+    q = na.shape[0]
+    qp = _round_up(q, _TQ)
+
+    def pad_i(x, fill=0):
+        return jnp.full((qp, 1), fill, jnp.int32).at[:q, 0].set(
+            x.astype(jnp.int32))
+
+    na_p, nb_p = pad_i(na), pad_i(nb)
+    ea_p, eb_p = pad_i(empty_a, 1), pad_i(empty_b, 1)
+    va1_p, va2_p, vb1_p = pad_i(va1, -1), pad_i(va2, -1), pad_i(vb1, -1)
+    wc_p = pad_i(wildcard)
+    tcut_p = jnp.full((qp, 1), -jnp.inf, jnp.float32).at[:q, 0].set(tcut)
+    # gumbels drawn at the UNPADDED column width (bit-parity with the dense
+    # jnp path); pad columns score -inf
+    ga = jnp.full((qp, c), -jnp.inf, jnp.float32).at[:q, :gum_a.shape[1]]\
+        .set(gum_a)
+    gb = jnp.full((qp, c), -jnp.inf, jnp.float32).at[:q, :gum_b.shape[1]]\
+        .set(gum_b)
+    kern = functools.partial(_sample_masked_kernel, N=npad, C=c)
+    vec = pl.BlockSpec((_TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((_TQ, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    src, nd, ed, ts, fnd = pl.pallas_call(
+        kern,
+        grid=(qp // _TQ,),
+        in_specs=[
+            pl.BlockSpec((npad, c3), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            vec, vec, vec, vec, vec, vec, vec, vec, vec, mat, mat,
+        ],
+        out_specs=[vec] * 5,
+        out_shape=[jax.ShapeDtypeStruct((qp, 1), jnp.float32)] * 5,
+        interpret=interpret,
+    )(tbl, na_p, nb_p, tcut_p, ea_p, eb_p, va1_p, va2_p, vb1_p, wc_p, ga, gb)
+    sq = lambda x: x[:q, 0]
+    return (sq(src).astype(jnp.int32), sq(nd).astype(jnp.int32),
+            sq(ed).astype(jnp.int32), sq(ts), sq(fnd) > 0.5)
+
+
+def sample_masked_union(g, key, node_a, node_b, eid_cut, va1, va2, vb1,
+                        wildcard, interpret: bool | None = None):
+    """Fused get_final_step (utils/graph.py:335-476): ONE uniform pick from
+    the union of node_a's / node_b's cut histories restricted to candidate
+    targets (node_a side: ngh in {va1, va2}; node_b side: ngh == vb1;
+    unrestricted where ``wildcard``), via Gumbel-argmax over matches.
+
+    Bit-identical to the dense jnp path in ops/sampler.py given the same key
+    (same gumbel draws at the dense column width, same >= tie-break between
+    the two sides). Returns (src, ngh, eid, ts, found)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    q = node_a.shape[0]
+    c_draw = g.dense_ts.shape[1]
+    key_a, key_b = jax.random.split(key)
+    gum_a = jax.random.gumbel(key_a, (q, c_draw))
+    gum_b = jax.random.gumbel(key_b, (q, c_draw))
+    t_cut = g.edge_ts[eid_cut.astype(jnp.int32)]
+    empty_a = (node_a == 0) | (eid_cut == 0)
+    empty_b = (node_b == 0) | (eid_cut == 0)
+    return _sample_masked_call(_dense_table(g), node_a, node_b, t_cut,
+                               empty_a, empty_b, va1, va2, vb1, wildcard,
+                               gum_a, gum_b, interpret=interpret)
+
+
 def sample_union(g, key, node_a, node_b, eid_cut, n_draws: int,
                  interpret: bool | None = None):
     """Fused get_next_step (utils/graph.py:308-333): ``n_draws`` uniform picks

@@ -385,6 +385,12 @@ def _masked_union_sample(g: TemporalGraph, key,
     q = node_a.shape[0]
     neg_inf = jnp.float32(-jnp.inf)
 
+    if _kernel_enabled(g):
+        # Pallas fused masked-union kernel (TPU) — bit-identical to the
+        # dense path given the same key.
+        from .pallas import sample_kernel as SK
+        return SK.sample_masked_union(g, key, node_a, node_b, eid_cut,
+                                      va1, va2, vb1, wildcard)
     if _dense_enabled(g):
         # dense fast path: full-width Gumbel-argmax over both padded rows in
         # one shot (no chunked while_loop, no random CSR gathers). Same

@@ -95,3 +95,43 @@ def test_kernel_gated_off_on_large_tables(graph):
         dense_node=jnp.zeros((8192, 64)), dense_eid=jnp.zeros((8192, 64)))
     assert not SK.available(huge)   # > _MAX_NODES
     assert not SK.available(csr_only(graph))   # no dense layout
+
+
+def test_sample_masked_union_bitwise_matches_dense(graph):
+    """The masked-union kernel (walk event 3) must equal the dense jnp path
+    bit-for-bit given the same key (same gumbel stream, same >= side
+    tie-break)."""
+    key = jax.random.PRNGKey(17)
+    r = np.random.RandomState(3)
+    q = 220
+    na = jnp.asarray(r.randint(0, 50, q).astype(np.int32))
+    nb = jnp.asarray(r.randint(1, 50, q).astype(np.int32))
+    ec = jnp.asarray(r.randint(0, 600, q).astype(np.int32))
+    va1 = jnp.asarray(r.randint(0, 50, q).astype(np.int32))
+    va2 = jnp.asarray(r.randint(0, 50, q).astype(np.int32))
+    vb1 = jnp.asarray(r.randint(0, 50, q).astype(np.int32))
+    wc = jnp.asarray(r.rand(q) < 0.3)
+    k = SK.sample_masked_union(graph, key, na, nb, ec, va1, va2, vb1, wc,
+                               interpret=True)
+    d = S._masked_union_sample(graph, key, na, nb, ec, va1, va2, vb1, wc)
+    for kk, dd, name in zip(k, d, ["src", "ngh", "eid", "ts", "found"]):
+        np.testing.assert_array_equal(np.asarray(kk), np.asarray(dd),
+                                      err_msg=f"masked union mismatch {name}")
+
+
+def test_find_k_walks_kernel_valid(graph, monkeypatch):
+    """find_k_walks through the kernels must produce structurally valid
+    walks: anonymous codes in-vocabulary and padding consistent."""
+    monkeypatch.setenv("TEMPME_SAMPLE_KERNEL", "1")
+    key = jax.random.PRNGKey(23)
+    r = np.random.RandomState(6)
+    src = jnp.asarray(r.randint(1, 50, 16).astype(np.int32))
+    times = jnp.asarray(np.full(16, 600.0, np.float32))
+    sub = S.find_k_hop(graph, key, src, times, 2, 6)
+    w = S.find_k_walks(graph, jax.random.fold_in(key, 1), src, sub, 6, 3)
+    cats = np.asarray(w.cat)
+    assert cats.min() >= 0 and cats.max() < 12
+    found = np.asarray(w.eids[..., 0]) > 0
+    # unfound third events are fully zero-padded
+    assert (np.asarray(w.nodes[..., 0])[~found] == 0).all()
+    assert (np.asarray(w.ts[..., 0])[~found] == 0).all()
