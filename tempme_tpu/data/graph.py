@@ -54,7 +54,10 @@ class TemporalGraph:
     dense_eid: jnp.ndarray | None = None      # [N, C] f32
 
 
-DENSE_MAX_DEGREE = 512
+DENSE_MAX_DEGREE = 2048       # per-row padded width cap
+DENSE_MAX_ENTRIES = 4_000_000  # N*C cap: 3 tables x 4 B stay VMEM-friendly
+                               # (full-Enron: 185 x ~1700 = 0.3M entries ok;
+                               # wikipedia/reddit-scale blows it -> CSR)
 
 
 def build_temporal_graph(events: EventStream,
@@ -94,6 +97,7 @@ def build_temporal_graph(events: EventStream,
     # Node/edge ids are stored as float32 in the dense layout; only exact for
     # ids < 2^24, so gate the build on that too (ADVICE r3 medium).
     if (0 < max_degree <= DENSE_MAX_DEGREE
+            and num_nodes * max_degree <= DENSE_MAX_ENTRIES
             and num_edges < 2**24 and num_nodes < 2**24):
         c = max(8, -(-max_degree // 8) * 8)          # pad width to 8 rows
         dts = np.full((num_nodes, c), np.float32(1e37), np.float32)

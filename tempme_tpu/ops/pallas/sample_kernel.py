@@ -49,7 +49,18 @@ def _round_up(x: int, m: int) -> int:
 
 _MAX_TABLE_BYTES = 8 * 1024 * 1024   # VMEM-resident table budget (v5e ~16MB)
 _MAX_NODES = 4096                    # one-hot row-fetch stays MXU-cheap
-_TQ = 128                            # query rows per grid step
+_TQ = 128                            # query rows per grid step (C <= 512)
+
+
+def _tile_q(c: int) -> int:
+    """Query-tile rows, shrunk for wide rows so the per-tile row buffers
+    (up to 6 x [TQ, C] f32 in the union kernels) stay within VMEM next to
+    the resident [Np, 3Cp] table."""
+    if c <= 512:
+        return _TQ
+    if c <= 1024:
+        return 64
+    return 32
 
 
 def available(g) -> bool:
@@ -131,7 +142,8 @@ def _sample_rows_call(tbl, nodes, tcut, u_sorted, n, interpret=False):
     npad, c3 = tbl.shape
     c = c3 // 3
     q = nodes.shape[0]
-    qp = _round_up(q, _TQ)
+    tq = _tile_q(c)
+    qp = _round_up(q, tq)
     nodes_p = jnp.zeros((qp, 1), jnp.int32).at[:q, 0].set(
         nodes.astype(jnp.int32))
     tcut_p = jnp.full((qp, 1), -jnp.inf, jnp.float32).at[:q, 0].set(tcut)
@@ -139,16 +151,16 @@ def _sample_rows_call(tbl, nodes, tcut, u_sorted, n, interpret=False):
     kern = functools.partial(_sample_rows_kernel, N=npad, C=c, n=n)
     nd, ed, ts = pl.pallas_call(
         kern,
-        grid=(qp // _TQ,),
+        grid=(qp // tq,),
         in_specs=[
             pl.BlockSpec((npad, c3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TQ, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((_TQ, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((tq, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ] * 3,
         out_shape=[jax.ShapeDtypeStruct((qp, n), jnp.float32)] * 3,
         interpret=interpret,
@@ -211,7 +223,8 @@ def _sample_union_call(tbl, na, nb, tcut, empty_a, empty_b, u, n,
     npad, c3 = tbl.shape
     c = c3 // 3
     q = na.shape[0]
-    qp = _round_up(q, _TQ)
+    tq = _tile_q(c)
+    qp = _round_up(q, tq)
 
     def pad_i(x):
         return jnp.zeros((qp, 1), jnp.int32).at[:q, 0].set(
@@ -225,11 +238,11 @@ def _sample_union_call(tbl, na, nb, tcut, empty_a, empty_b, u, n,
     tcut_p = jnp.full((qp, 1), -jnp.inf, jnp.float32).at[:q, 0].set(tcut)
     u_p = jnp.zeros((qp, n), jnp.float32).at[:q].set(u)
     kern = functools.partial(_sample_union_kernel, N=npad, C=c, n=n)
-    vec = pl.BlockSpec((_TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((_TQ, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((tq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((tq, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
     src, nd, ed, ts = pl.pallas_call(
         kern,
-        grid=(qp // _TQ,),
+        grid=(qp // tq,),
         in_specs=[
             pl.BlockSpec((npad, c3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -290,7 +303,8 @@ def _sample_masked_call(tbl, na, nb, tcut, empty_a, empty_b,
     npad, c3 = tbl.shape
     c = c3 // 3
     q = na.shape[0]
-    qp = _round_up(q, _TQ)
+    tq = _tile_q(c)
+    qp = _round_up(q, tq)
 
     def pad_i(x, fill=0):
         return jnp.full((qp, 1), fill, jnp.int32).at[:q, 0].set(
@@ -308,11 +322,11 @@ def _sample_masked_call(tbl, na, nb, tcut, empty_a, empty_b,
     gb = jnp.full((qp, c), -jnp.inf, jnp.float32).at[:q, :gum_b.shape[1]]\
         .set(gum_b)
     kern = functools.partial(_sample_masked_kernel, N=npad, C=c)
-    vec = pl.BlockSpec((_TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    mat = pl.BlockSpec((_TQ, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((tq, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    mat = pl.BlockSpec((tq, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
     src, nd, ed, ts, fnd = pl.pallas_call(
         kern,
-        grid=(qp // _TQ,),
+        grid=(qp // tq,),
         in_specs=[
             pl.BlockSpec((npad, c3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
