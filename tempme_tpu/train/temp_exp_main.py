@@ -362,8 +362,8 @@ def main(argv=None):
                 batch.ts, subs[0], subs[1], subs[2],
                 keeps[0], keeps[1], keeps[2],
                 method=type(base.model).ratio_contrast)
-        else:
-            # stacked [R*3B] forward fallback (non-TGN bases)
+        elif k_hops <= 2:
+            # stacked [R*3B] forward fallback (non-TGN shallow bases)
             masked = mask_supports_for_ratios(explanation, subs, ratios,
                                               n_degree, args.base_type)
             def tile(x):
@@ -373,6 +373,28 @@ def main(argv=None):
                                     tile(bgd), tile(batch.ts),
                                     tile(batch.eidx),
                                     masked[0], masked[1], masked[2], None)
+        else:
+            # deep (3-layer TGAT) bases: the stacked sweep would materialize
+            # [R*3B, n^3] K/V (tens of GB) — run the 16 ratios sequentially
+            # under lax.map instead (peak memory = one ratio's forward)
+            masked = mask_supports_for_ratios(explanation, subs, ratios,
+                                              n_degree, args.base_type)
+
+            def unflat(sub):
+                return S.Subgraph(
+                    tuple(x.reshape((r, -1) + x.shape[1:])
+                          for x in sub.nodes),
+                    tuple(x.reshape((r, -1) + x.shape[1:]) for x in sub.eids),
+                    tuple(x.reshape((r, -1) + x.shape[1:]) for x in sub.ts))
+
+            m0, m1, m2 = (unflat(s) for s in masked)
+
+            def one_ratio(ms):
+                s0, s1, s2 = ms
+                return contrast(batch.src, batch.dst, bgd, batch.ts,
+                                batch.eidx, s0, s1, s2, None)
+
+            pos_r, neg_r = jax.lax.map(one_ratio, (m0, m1, m2))
         return dict(
             y_ori=y_ori, pred=pred, pos_ori=pos_ori, neg_ori=neg_ori,
             pos=pos, neg=neg, kl=kl,

@@ -47,7 +47,9 @@ def test_dryrun_multichip_runs():
         if "rendezvous" not in out.stderr.lower():
             break
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "memory parity vs 1-device" in out.stdout, out.stdout
+    assert "memory/loss parity vs 1-device at 1e-5" in out.stdout, out.stdout
+    assert "tgat-explainer loss" in out.stdout, out.stdout
+    assert "enhance loss" in out.stdout, out.stdout
 
 
 def test_sharded_matches_unsharded():
