@@ -52,6 +52,47 @@ def main():
     print(f"2^24-1 id roundtrip:     {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # 4. Pallas sampling-kernel parity vs the CSR path on this backend
+    import os
+    import dataclasses
+    from tempme_tpu.data.events import EventStream
+    from tempme_tpu.data.graph import build_temporal_graph
+    from tempme_tpu.ops import sampler as S
+
+    rr = np.random.RandomState(3)
+    ne, nn = 800, 60
+    ev = EventStream(rr.randint(1, nn, ne).astype(np.int32),
+                     rr.randint(1, nn, ne).astype(np.int32),
+                     np.sort(rr.rand(ne).astype(np.float32) * 1e4),
+                     np.zeros(ne, np.float32),
+                     np.arange(1, ne + 1, dtype=np.int32))
+    g = build_temporal_graph(ev)
+    g_csr = dataclasses.replace(g, dense_ts=None, dense_node=None,
+                                dense_eid=None)
+    key = jax.random.PRNGKey(9)
+    src = jnp.asarray(rr.randint(1, nn, 64).astype(np.int32))
+    ts = jnp.asarray(np.full(64, 1e4, np.float32))
+    os.environ["TEMPME_SAMPLE_KERNEL"] = "1"
+    sub_k = jax.jit(lambda k: S.find_k_hop(g, k, src, ts, 2, 8))(key)
+    w_k = jax.jit(lambda k: S.find_k_walks(g, k, src, sub_k, 8, 3))(key)
+    os.environ["TEMPME_SAMPLE_KERNEL"] = "0"
+    sub_c = jax.jit(lambda k: S.find_k_hop(g_csr, k, src, ts, 2, 8))(key)
+    w_c = jax.jit(lambda k: S.find_k_walks(g_csr, k, src, sub_c, 8, 3))(key)
+    del os.environ["TEMPME_SAMPLE_KERNEL"]
+    ok = all(np.array_equal(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree.leaves(sub_k), jax.tree.leaves(sub_c)))
+    print(f"sampling kernel k-hop ≡ CSR: {'OK' if ok else 'FAIL'}")
+    failures += not ok
+    # walks: events 1-2 are bit-parity; event-3 gumbel streams differ between
+    # kernel (dense layout) and CSR chunking — check hop-0-derived fields and
+    # the 12-class vocabulary instead
+    cats = np.asarray(w_k.cat)
+    ok = (np.array_equal(np.asarray(w_k.eids[..., 2]),
+                         np.asarray(w_c.eids[..., 2]))
+          and 0 <= cats.min() and cats.max() < 12)
+    print(f"walk kernel event-1/vocab:   {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     if failures:
         raise SystemExit(f"{failures} smoke check(s) FAILED")
     print("all smoke checks passed")
