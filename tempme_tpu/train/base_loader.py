@@ -77,9 +77,13 @@ def load_base(ckpt_path: str, feats: Features) -> LoadedBase:
     raise ValueError(f"unknown base_type {base_type}")
 
 
-def _dummy_subgraphs(meta, k, b=2):
+def _dummy_subgraphs(meta, k, b=2, tiny=False):
+    """``tiny=True`` inits on width-2 supports — TGAT params are
+    support-width independent, and the real 3-layer pyramid (30/900/27000)
+    costs minutes of init compile. GraphMixer's token-mix Dense is sized by
+    n_degree, so it keeps the real width."""
     from ..ops.sampler import Subgraph
-    n = meta["n_degree"]
+    n = 2 if tiny else meta["n_degree"]
     nodes, eids, ts = [], [], []
     width = n
     for _ in range(k):
@@ -92,8 +96,9 @@ def _dummy_subgraphs(meta, k, b=2):
 
 def _init_stateless(model, feats, meta, key):
     b = 2
-    k = meta["n_layer"] if meta["base_type"] == "tgat" else 2
-    sub = _dummy_subgraphs(meta, k, b)
+    is_tgat = meta["base_type"] == "tgat"
+    k = meta["n_layer"] if is_tgat else 2
+    sub = _dummy_subgraphs(meta, k, b, tiny=is_tgat)
     z = jnp.zeros((b,), jnp.int32)
     t = jnp.zeros((b,), jnp.float32)
     return model.init({"params": key}, feats, z, z, z, t, sub, sub, sub,

@@ -145,12 +145,17 @@ def main(argv=None):
     test_sampler = RandEdgeSampler([ds.train.src, ds.val.src, ds.test.src],
                                    [ds.train.dst, ds.val.dst, ds.test.dst])
 
-    # init
+    # init — TGAT params are support-width independent (all kernels sized by
+    # feature dims), so init on a width-2 support: the real 3-layer pyramid
+    # (widths 30/900/27000) costs minutes of device compile PER PROCESS
+    # START, which multiplies under the stall-watchdog restarts.
+    # GraphMixer's token-mix Dense IS sized by n_degree -> real width there.
     key = jax.random.PRNGKey(args.seed)
     init_batch = next(loops.iter_batches(ds.train, args.bs, True, 0, True))
+    n_init = 2 if args.base_type == "tgat" else args.n_degree
     _, s0, s1, s2 = loops.sample_support(
         g_train, key, init_batch, jnp.asarray(train_sampler.dst_list),
-        k, args.n_degree)
+        k, n_init)
     params = model.init({"params": key, "dropout": key}, feats,
                         init_batch.src, init_batch.dst, init_batch.dst,
                         init_batch.ts, s0, s1, s2, deterministic=True)
