@@ -41,6 +41,9 @@ def main(argv=None):
     add_explainer_args(p)
     p.add_argument("--base_type", type=str, default="tgn")
     p.add_argument("--ckpt_dir", type=str, default="params")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the .train_state checkpoint (tgn/"
+                        "graphmixer path)")
     p.add_argument("--freeze_base_epochs", type=int, default=0,
                    help="train only the predictor for the first K epochs "
                         "(warmup that protects the pretrained base from "
@@ -176,7 +179,25 @@ def main(argv=None):
         run_name=time.strftime(
             f"{args.base_type}_{args.data}_%Y%m%d_%H%M%S_enhance"))
     mem = mem0
-    for epoch in range(args.n_epoch):
+    # stop/resume train-state checkpoint (SURVEY §5.3; pairs with
+    # tools/supervise.py)
+    train_ckpt = ckpt + ".train_state"
+    start_epoch = 0
+    if args.resume and osp.exists(train_ckpt):
+        from ..utils.checkpoint import load_checkpoint
+        tmpl = {"all_params": all_params, "opt_state": opt_state, "key": key}
+        if is_tgn:
+            tmpl["mem"] = mem
+        blob, tmeta = load_checkpoint(train_ckpt, tmpl)
+        all_params, opt_state, key = (blob["all_params"], blob["opt_state"],
+                                      blob["key"])
+        if is_tgn:
+            mem = blob["mem"]
+        start_epoch = tmeta["epoch"] + 1
+        best_ap, best_auc, best_val = (tmeta["best_ap"], tmeta["best_auc"],
+                                       tmeta["best_val"])
+        print(f"resumed from {train_ckpt} at epoch {start_epoch}")
+    for epoch in range(start_epoch, args.n_epoch):
         t0 = time.time()
         losses, aps = [], []
         n_ev = 0
@@ -234,6 +255,12 @@ def main(argv=None):
                                   out_dim=args.out_dim, hid_dim=args.hid_dim))
             print(f"  saved best enhance checkpoint -> {ckpt} "
                   f"(ap={best_ap:.4f})")
+        blob = {"all_params": all_params, "opt_state": opt_state, "key": key}
+        if is_tgn:
+            blob["mem"] = mem
+        save_params(train_ckpt, blob,
+                    meta=dict(epoch=epoch, best_ap=best_ap,
+                              best_auc=best_auc, best_val=best_val))
     logger.close()
     import json
     os.makedirs(args.results_dir, exist_ok=True)
@@ -241,7 +268,8 @@ def main(argv=None):
                    f"enhance_{args.base_type}_{args.data}.json")
     with open(out, "w") as f:
         json.dump(dict(base_type=args.base_type, data=args.data,
-                       ap=best_ap, auc=best_auc), f, indent=1)
+                       ap=best_ap, auc=best_auc, val_ap=best_val),
+                  f, indent=1)
     print(f"results -> {out}")
     return best_ap
 

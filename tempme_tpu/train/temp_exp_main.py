@@ -190,6 +190,8 @@ def main(argv=None):
     p.add_argument("--eval_only", action="store_true",
                    help="load the saved explainer checkpoint and run the full "
                         "eval protocol once (no training)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the .train_state checkpoint")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of one train epoch")
     p.add_argument("--use_cache", action="store_true",
@@ -540,7 +542,21 @@ def main(argv=None):
             f"{args.base_type}_{args.data}_%Y%m%d_%H%M%S_explainer"))
     tp = profiling.Throughput()
     best, best_ev = 0.0, None
-    for epoch in range(args.n_epoch):
+    # full-train-state checkpoint for stop/resume (SURVEY §5.3; pairs with
+    # the tools/supervise.py stall watchdog)
+    train_ckpt = ckpt + ".train_state"
+    start_epoch = 0
+    if args.resume and osp.exists(train_ckpt):
+        from ..utils.checkpoint import load_checkpoint
+        blob, tmeta = load_checkpoint(train_ckpt,
+                                      {"exp_params": exp_params,
+                                       "opt_state": opt_state, "key": key})
+        exp_params, opt_state, key = (blob["exp_params"], blob["opt_state"],
+                                      blob["key"])
+        start_epoch = tmeta["epoch"] + 1
+        best = tmeta["best"]
+        print(f"resumed from {train_ckpt} at epoch {start_epoch}")
+    for epoch in range(start_epoch, args.n_epoch):
         if args.profile and epoch == 1:   # epoch 0 pays compiles; trace epoch 1
             trace_ctx = profiling.trace(osp.join(args.log_dir, "trace"))
             trace_ctx.__enter__()
@@ -604,8 +620,15 @@ def main(argv=None):
                                   node_dim=ds.node_feat.shape[1],
                                   edge_dim=ds.edge_feat.shape[1]))
             print(f"  saved best explainer -> {ckpt} (score={best:.4f})")
+        save_params(train_ckpt, {"exp_params": exp_params,
+                                 "opt_state": opt_state, "key": key},
+                    meta=dict(epoch=epoch, best=best))
     if best_ev is not None:
         write_results(best_ev)
+    elif start_epoch > 0:
+        # resumed run with no post-resume improvement: report the saved best
+        ev = run_eval(load_params(ckpt, exp_params), args.n_epoch)
+        write_results(dict(ev, val_score=best))
     logger.close()
     return best
 

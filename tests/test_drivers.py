@@ -264,3 +264,34 @@ def test_tgat3_base_and_explainer_chain(workdir):
                      + ["--base_type", "tgat",
                         "--ckpt_dir", str(workdir / "params3")])
     assert 0.0 <= score <= 1.0
+
+
+def test_explainer_and_enhance_resume(workdir):
+    """Stop/resume for the explainer and enhance drivers: a resumed run picks
+    up the .train_state checkpoint and continues from the next epoch
+    (SURVEY §5.3; pairs with the tools/supervise.py watchdog)."""
+    import io
+    from contextlib import redirect_stdout
+    from tempme_tpu.train.learn_base import main as learn_main
+    from tempme_tpu.train.temp_exp_main import main as exp_main
+    if not (workdir / "params" / "tgnn" / "graphmixer_synth.msgpack").exists():
+        learn_main(_common(workdir)
+                   + ["--base_type", "graphmixer",
+                      "--n_degree", str(N_DEGREE), "--n_layer", "2",
+                      "--out_dir", str(workdir / "params" / "tgnn")])
+    common = _common(workdir) + ["--base_type", "graphmixer",
+                                 "--ckpt_dir", str(workdir / "params")]
+    exp_main(common)      # epoch 0, writes train_state
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        exp_main([a if a != "1" or common[common.index(a) - 1] != "--n_epoch"
+                  else "2" for a in common] + ["--resume"])
+    assert "resumed from" in buf.getvalue()
+
+    from tempme_tpu.train.enhance_main import main as enh_main
+    enh_main(common)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        enh_main([a if a != "1" or common[common.index(a) - 1] != "--n_epoch"
+                  else "2" for a in common] + ["--resume"])
+    assert "resumed from" in buf.getvalue()
