@@ -10,6 +10,10 @@
     python -m tempme_tpu.cli node-degrees --data uslegis_sampled
     python -m tempme_tpu.cli visualize   --data uslegis_sampled --base_type tgn
     python -m tempme_tpu.cli validate    --data uslegis_sampled
+    python -m tempme_tpu.cli supervise   --stall_timeout 600 -- python -m ...
+    python -m tempme_tpu.cli profile     --data uslegis_sampled
+    python -m tempme_tpu.cli smoke
+    python -m tempme_tpu.cli scaling-report
 """
 from __future__ import annotations
 
@@ -48,6 +52,18 @@ def main(argv=None):
         return m(rest)
     if cmd == "validate":
         from .tools.validate import main as m
+        return m(rest)
+    if cmd == "supervise":
+        from .tools.supervise import main as m
+        return m(rest)
+    if cmd == "profile":
+        from .tools.profile_step import main as m
+        return m(rest)
+    if cmd == "smoke":
+        from .tools.tpu_smoke import main as m
+        return m()
+    if cmd == "scaling-report":
+        from .tools.scaling_report import main as m
         return m(rest)
     print(f"unknown command {cmd!r}\n{__doc__}")
     return 1

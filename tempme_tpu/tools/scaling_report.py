@@ -137,12 +137,38 @@ def main(argv=None):
                 out = step(p8, o8, m8, k8, b8)
             jax.block_until_ready(out[4])
             step_ms = (time.perf_counter() - t0) / 3 * 1e3
+        # explainer step census on the same mesh (the flagship pipeline)
+        from tempme_tpu.explain.tempme import TempME
+        from tempme_tpu.parallel.train import make_sharded_explainer_train_step
+        from tempme_tpu.train.base_loader import LoadedBase
+        from tempme_tpu.train.temp_exp_main import (make_base_contrast,
+                                                    sample_explainer_inputs)
+        base = LoadedBase("tgn", model, params, mem, dict(n_degree=n))
+        contrast = make_base_contrast(base, feats)
+        explainer = TempME(node_dim=dn, edge_dim=8, out_dim=8, hid_dim=16,
+                           base_type="tgn", dropout=0.0)
+        _, subs0, walks0 = sample_explainer_inputs(
+            g, key, batch, jnp.asarray(np.unique(ev.dst)), n)
+        exp_params = explainer.init({"params": key}, feats, walks0[0],
+                                    batch.ts, subs0[0],
+                                    method=TempME.init_all)
+        with mesh:
+            estep, eplace, epb = make_sharded_explainer_train_step(
+                explainer, contrast, g, feats, jnp.asarray(np.unique(ev.dst)),
+                n, jnp.full((12,), 1 / 12.0), optimizer, mesh)
+            ep8, eo8, ek8 = eplace(exp_params, optimizer.init(exp_params),
+                                   key)
+            erep = analyze_hlo(estep.lower(ep8, eo8, ek8, epb(batch))
+                               .compile().as_text())
+
         rows.append({"mesh": f"{dp}x{sp}x{tp}", "devices": need,
                      "global_batch": b, "n_degree": n,
                      "collectives": rep["counts"],
                      "comm_bytes_per_step": rep["total_bytes"],
                      "total_collectives": rep["total_collectives"],
-                     "virtual_step_ms": round(step_ms, 1)})
+                     "virtual_step_ms": round(step_ms, 1),
+                     "explainer_collectives": erep["counts"],
+                     "explainer_comm_bytes_per_step": erep["total_bytes"]})
         print(json.dumps(rows[-1]))
 
     with open(args.json_out, "w") as f:
@@ -165,16 +191,20 @@ def main(argv=None):
         "throughput.",
         "",
         "| mesh (dp×sp×tp) | devices | global batch | AR | AG | A2A | CP | RS "
-        "| comm bytes/step | virtual step ms |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| comm bytes/step | virtual step ms | explainer coll. | explainer "
+        "bytes |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r_ in rows:
         c = r_["collectives"]
+        ec = r_["explainer_collectives"]
         lines.append(
             f"| {r_['mesh']} | {r_['devices']} | {r_['global_batch']} "
             f"| {c['all-reduce']} | {c['all-gather']} | {c['all-to-all']} "
             f"| {c['collective-permute']} | {c['reduce-scatter']} "
-            f"| {r_['comm_bytes_per_step']:,} | {r_['virtual_step_ms']} |")
+            f"| {r_['comm_bytes_per_step']:,} | {r_['virtual_step_ms']} "
+            f"| {sum(ec.values())} "
+            f"| {r_['explainer_comm_bytes_per_step']:,} |")
     lines += [
         "",
         "Interpretation: dp-only meshes communicate only in the gradient "
