@@ -41,12 +41,31 @@ def gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     rows = int(np.prod(idx.shape)) if idx.ndim else 1
     dt = table.dtype if table.dtype in (jnp.bfloat16, jnp.float32) \
         else jnp.float32
-    if n > ONE_HOT_MAX or rows * n * jnp.dtype(dt).itemsize > ONE_HOT_BYTES:
+    if n > ONE_HOT_MAX:
         return table[idx]
     idx = jnp.where(idx < 0, idx + n, idx)   # Python-style negative wrap,
     idx = jnp.clip(idx, 0, n - 1)            # then XLA clamp — ≡ table[idx]
-    oh = jax.nn.one_hot(idx, n, dtype=dt)
-    out = jnp.matmul(oh, table.astype(dt),
-                     preferred_element_type=table.dtype,
-                     precision=jax.lax.Precision.HIGHEST)
+    tbl = table.astype(dt)
+
+    def one_hot_rows(flat_idx):
+        oh = jax.nn.one_hot(flat_idx, n, dtype=dt)
+        return jnp.matmul(oh, tbl, preferred_element_type=table.dtype,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    max_rows = ONE_HOT_BYTES // (n * jnp.dtype(dt).itemsize)
+    if rows <= max_rows:
+        out = one_hot_rows(idx)
+    else:
+        # large-batch path: chunk the one-hot operand under the byte budget
+        # instead of falling back to descriptor-bound random DMA gathers
+        # (the r4 batch sweep showed bs>=1024 regressing through that
+        # fallback). Pad to a whole number of chunks, loop statically.
+        flat = idx.reshape(-1)
+        n_chunks = -(-rows // max_rows)
+        pad = n_chunks * max_rows - rows
+        flat = jnp.pad(flat, (0, pad))
+        parts = [one_hot_rows(flat[i * max_rows:(i + 1) * max_rows])
+                 for i in range(n_chunks)]
+        out = jnp.concatenate(parts, axis=0)[:rows] \
+            .reshape(idx.shape + (tbl.shape[1],))
     return out.astype(table.dtype)

@@ -45,3 +45,16 @@ def test_large_table_falls_back_to_plain_gather():
     idx = jnp.asarray([0, 4999, 17])
     out = gather_rows(table, idx)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(table)[idx])
+
+
+def test_chunked_one_hot_path_exact(monkeypatch):
+    """Above the one-hot byte budget, gather_rows chunks the one-hot operand
+    instead of falling back to random DMA gathers; results stay exact."""
+    from tempme_tpu.ops import gather as G
+    monkeypatch.setattr(G, "ONE_HOT_BYTES", 64 * 1024)
+    r = np.random.RandomState(3)
+    table = jnp.asarray(r.randn(300, 16).astype(np.float32))
+    idx = jnp.asarray(r.randint(0, 300, (64, 30)))
+    out = G.gather_rows(table, idx)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(table)[np.asarray(idx)])
