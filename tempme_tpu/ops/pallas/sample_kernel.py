@@ -52,15 +52,16 @@ _MAX_NODES = 4096                    # one-hot row-fetch stays MXU-cheap
 _TQ = 128                            # query rows per grid step (C <= 512)
 
 
-def _tile_q(c: int) -> int:
+def _tile_q(c: int, bufs: int = 6) -> int:
     """Query-tile rows, shrunk for wide rows so the per-tile row buffers
-    (up to 6 x [TQ, C] f32 in the union kernels) stay within VMEM next to
-    the resident [Np, 3Cp] table."""
-    if c <= 512:
-        return _TQ
-    if c <= 1024:
-        return 64
-    return 32
+    (``bufs`` x [TQ, C] f32: 3 for the k=1 kernel, 6 for the two-node union
+    kernels) stay within ~6 MB of VMEM next to the resident [Np, 3Cp]
+    table. Bigger tiles amortize per-grid-step overhead — the r4 Enron-shape
+    sweep was grid-bound at tq=32."""
+    budget = 6 * 1024 * 1024
+    tq = budget // max(1, bufs * c * 4)
+    tq = max(8, min(_TQ, (tq // 8) * 8))
+    return tq
 
 
 def available(g) -> bool:
@@ -142,7 +143,7 @@ def _sample_rows_call(tbl, nodes, tcut, u_sorted, n, interpret=False):
     npad, c3 = tbl.shape
     c = c3 // 3
     q = nodes.shape[0]
-    tq = _tile_q(c)
+    tq = _tile_q(c, bufs=3)
     qp = _round_up(q, tq)
     nodes_p = jnp.zeros((qp, 1), jnp.int32).at[:q, 0].set(
         nodes.astype(jnp.int32))
