@@ -156,6 +156,11 @@ def add_common_args(p, bs: int = 256, n_epoch: int = 20, lr: float = 1e-3):
     p.add_argument("--n_epoch", type=int, default=n_epoch)
     p.add_argument("--lr", type=float, default=lr)
     p.add_argument("--drop_out", type=float, default=0.1)
+    p.add_argument("--patience", type=int, default=5,
+                   help="early-stop rounds without val-AP improvement "
+                        "(reference EarlyStopMonitor max_round, "
+                        "utils/batch_loader.py:4-29); raise on small/noisy "
+                        "val splits")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_dir", type=str, default="tb_logs")
     p.add_argument("--results_dir", type=str, default="results")

@@ -172,7 +172,7 @@ def main(argv=None):
         model, g_full, feats, jnp.asarray(test_sampler.dst_list),
         k, args.n_degree)
 
-    stopper = M.EarlyStopMonitor(max_round=5)
+    stopper = M.EarlyStopMonitor(max_round=args.patience)
     best = None
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_path = osp.join(args.out_dir, f"{args.base_type}_{args.data}.msgpack")

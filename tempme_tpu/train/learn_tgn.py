@@ -149,7 +149,7 @@ def main(args, cfg=None):
                                    jnp.asarray(test_sampler.dst_list),
                                    args.n_degree)
 
-    stopper = M.EarlyStopMonitor(max_round=5)
+    stopper = M.EarlyStopMonitor(max_round=args.patience)
     best = None
     os.makedirs(args.out_dir, exist_ok=True)
     ckpt_path = osp.join(args.out_dir, f"tgn_{args.data}.msgpack")
