@@ -29,10 +29,11 @@ import time
 
 
 def run_supervised(cmd, stall_timeout=600, max_restarts=5, resume_flag="--resume",
-                   log=print):
+                   log=print, _poll_interval=None):
     """Run ``cmd`` (list) under a stall watchdog. Returns the final exit code
     (0 on success). On stall or crash, restarts with ``resume_flag`` appended
-    (once; subsequent restarts keep it)."""
+    (once; subsequent restarts keep it). ``_poll_interval`` overrides the
+    watchdog wake period (tests only)."""
     attempt = 0
     cur = list(cmd)
     while True:
@@ -53,8 +54,16 @@ def run_supervised(cmd, stall_timeout=600, max_restarts=5, resume_flag="--resume
         t.start()
 
         stalled = False
+        # Poll much faster than the stall timeout so short timeouts are
+        # honored, and re-check poll() after every wake: a child that exits
+        # during the sleep is a normal exit, never a stall (a beat older than
+        # stall_timeout at that point just means the final phase was silent).
+        poll_interval = (_poll_interval if _poll_interval is not None
+                         else min(5.0, max(0.05, stall_timeout / 4.0)))
         while proc.poll() is None:
-            time.sleep(5)
+            time.sleep(poll_interval)
+            if proc.poll() is not None:
+                break
             if time.time() - last_beat[0] > stall_timeout:
                 stalled = True
                 log(f"[supervise] STALL: no output for {stall_timeout}s — "
@@ -68,7 +77,9 @@ def run_supervised(cmd, stall_timeout=600, max_restarts=5, resume_flag="--resume
         t.join(timeout=10)
 
         rc = proc.returncode
-        if not stalled and rc == 0:
+        # rc==0 always wins: even if a stall was (mis)declared, a clean exit
+        # code means the work completed.
+        if rc == 0:
             log(f"[supervise] success after {attempt} attempt(s)")
             return 0
         if attempt > max_restarts:
