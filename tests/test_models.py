@@ -490,11 +490,14 @@ def test_tgat_remat_matches_no_remat(setup):
                                    rtol=2e-4, atol=2e-6)
 
 
-def test_tgn_ratio_contrast_matches_stacked_sweep(setup):
+@pytest.mark.parametrize("ties", [False, True])
+def test_tgn_ratio_contrast_matches_stacked_sweep(setup, ties):
     """The shared-work ratio sweep (TGN.ratio_contrast) must reproduce the
     stacked masked-subgraph forward (threshold_test semantics,
     temp_exp_main.py:159-241) for every ratio, including degenerate rows
-    where a kept parent has all children dropped."""
+    where a kept parent has all children dropped. ``ties=True`` quantizes
+    the importances so many values are exactly equal — both paths must break
+    ties identically (ADVICE r4)."""
     g, feats, src, dst, ts, eidx, subs, _ = setup
     from tempme_tpu.models.tgn import TGN, init_memory_state
     from tempme_tpu.train.temp_exp_main import (keep_masks_for_ratios,
@@ -515,10 +518,14 @@ def test_tgn_ratio_contrast_matches_stacked_sweep(setup):
     ratios = (0.01, 0.05, 0.1, 0.2, 0.3)
     r = len(ratios)
     rng = np.random.RandomState(7)
-    # explanation: per hop [3B, width] importance in (0, 1)
-    explanation = [jnp.asarray(rng.rand(3 * B, N_DEG).astype(np.float32)),
-                   jnp.asarray(rng.rand(3 * B, N_DEG * N_DEG)
-                               .astype(np.float32))]
+    # explanation: per hop [3B, width] importance in (0, 1); the ties case
+    # quantizes to 4 levels so top-k boundaries land on exact ties
+    imp0 = rng.rand(3 * B, N_DEG).astype(np.float32)
+    imp1 = rng.rand(3 * B, N_DEG * N_DEG).astype(np.float32)
+    if ties:
+        imp0 = np.round(imp0 * 4) / 4
+        imp1 = np.round(imp1 * 4) / 4
+    explanation = [jnp.asarray(imp0), jnp.asarray(imp1)]
 
     # fast path
     keeps = keep_masks_for_ratios(explanation, ratios, N_DEG)
