@@ -238,3 +238,172 @@ def test_training_step_dispatches_pallas(monkeypatch):
     if jax.default_backend() == "tpu":
         # on a real TPU the Mosaic custom call carries the kernel name
         assert "_attend_drop_kernel" in text
+
+# ---------------------------------------------------------------------------
+# Kernel dispatch under the mesh (VERDICT r4 missing#1): the sharded train
+# steps must keep the Pallas fast paths (shard_map over the query/row axis,
+# VMEM tables replicated) instead of falling back to the jnp ops.
+# ---------------------------------------------------------------------------
+
+def _make_mesh(shape):
+    from tempme_tpu.parallel import mesh as M
+    dp, sp, tp = shape
+    n = dp * sp * tp
+    assert len(jax.devices()) >= n
+    return M.make_mesh(dp, sp, tp, devices=jax.devices()[:n])
+
+
+def _sharded_tgn_setup(dropout=0.0):
+    import optax
+    import __graft_entry__ as ge
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    from tempme_tpu.train import loops
+
+    ev, g, feats = ge._tiny_setup(dn=16, de=8)
+    b, n = 8, 4
+    model = TGN(node_dim=16, edge_dim=8, num_nodes=g.num_nodes,
+                n_layers=2, n_head=2, dropout=dropout,
+                compute_dtype=jnp.float32)
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    r = np.random.RandomState(2)
+    batch = loops.Batch(
+        src=jnp.asarray(r.randint(1, 32, b).astype(np.int32)),
+        dst=jnp.asarray(r.randint(1, 32, b).astype(np.int32)),
+        ts=jnp.asarray(np.full(b, float(ev.ts.max()) + 1, np.float32)),
+        eidx=jnp.asarray(r.randint(1, len(ev), b).astype(np.int32)),
+        mask=jnp.ones((b,), bool))
+    key = jax.random.PRNGKey(0)
+    from tempme_tpu.ops import sampler as S
+    subs = tuple(S.find_k_hop(g, jax.random.fold_in(key, i), batch.src,
+                              batch.ts, 2, n) for i in range(3))
+    params = model.init({"params": key, "dropout": key}, feats, mem,
+                        batch.src, batch.dst, batch.dst, batch.ts, batch.eidx,
+                        *subs, deterministic=True)
+    optimizer = optax.adam(1e-3)
+    dst_table = jnp.asarray(np.unique(np.asarray(ev.dst)))
+    return ev, g, feats, model, mem, params, optimizer, dst_table, batch, key, n
+
+
+def _run_sharded_tgn(mesh, setup):
+    from tempme_tpu.parallel.train import make_sharded_tgn_train_step
+    (ev, g, feats, model, mem, params, optimizer, dst_table, batch, key,
+     n) = setup
+    with mesh:
+        step, place, place_batch = make_sharded_tgn_train_step(
+            model, g, feats, dst_table, n, optimizer, mesh)
+        p, o, m, k = place(params, optimizer.init(params), mem, key)
+        p, o, m, k, loss = step(p, o, m, k, place_batch(batch))
+        jax.block_until_ready(loss)
+    return float(loss), np.asarray(m.memory)
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 1), (2, 2, 2)])
+def test_sharded_tgn_step_dispatches_pallas(monkeypatch, shape):
+    """Tracing make_sharded_tgn_train_step under a mesh must route through
+    BOTH the fused attention kernel and the CSR sampling kernel, and the
+    result must match the kernels-off sharded step (the kernels are
+    bit-parity paths)."""
+    from tempme_tpu.ops.pallas import sample_kernel as SK
+
+    setup = _sharded_tgn_setup(dropout=0.0)
+    mesh = _make_mesh(shape)
+
+    monkeypatch.setenv("TEMPME_PALLAS", "1")
+    monkeypatch.setenv("TEMPME_SAMPLE_KERNEL", "1")
+    attend_calls, sample_calls = [], []
+    orig_attend, orig_rows = pk.fused_attend, SK.sample_rows
+
+    def spy_attend(*a, **kw):
+        attend_calls.append(1)
+        return orig_attend(*a, **kw)
+
+    def spy_rows(*a, **kw):
+        sample_calls.append(1)
+        return orig_rows(*a, **kw)
+
+    monkeypatch.setattr(pk, "fused_attend", spy_attend)
+    monkeypatch.setattr(SK, "sample_rows", spy_rows)
+    loss_k, mem_k = _run_sharded_tgn(mesh, setup)
+    assert attend_calls, "sharded step did not dispatch fused_attend"
+    assert sample_calls, "sharded step did not dispatch the sampling kernel"
+
+    monkeypatch.setenv("TEMPME_PALLAS", "0")
+    monkeypatch.setenv("TEMPME_SAMPLE_KERNEL", "0")
+    monkeypatch.setattr(pk, "fused_attend", orig_attend)
+    monkeypatch.setattr(SK, "sample_rows", orig_rows)
+    loss_j, mem_j = _run_sharded_tgn(mesh, setup)
+    np.testing.assert_allclose(loss_k, loss_j, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(mem_k, mem_j, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 2)])
+def test_sharded_explainer_step_dispatches_pallas(monkeypatch, shape):
+    """The sharded TempME explainer step must keep all three sampling kernels
+    plus the walk->edge scatter-max kernel under the mesh, with loss parity
+    against the kernels-off sharded step."""
+    import optax
+    import __graft_entry__ as ge
+    from tempme_tpu.explain.tempme import TempME
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    from tempme_tpu.ops.pallas import sample_kernel as SK
+    from tempme_tpu.parallel.train import make_sharded_explainer_train_step
+    from tempme_tpu.train.base_loader import LoadedBase
+    from tempme_tpu.train.temp_exp_main import (make_base_contrast,
+                                                sample_explainer_inputs)
+
+    (ev, g, feats, model, mem, params, optimizer, dst_table, batch, key,
+     n) = _sharded_tgn_setup(dropout=0.0)
+    mesh = _make_mesh(shape)
+    base = LoadedBase("tgn", model, params, mem, dict(n_degree=n))
+    contrast = make_base_contrast(base, feats)
+    explainer = TempME(node_dim=16, edge_dim=8, out_dim=8, hid_dim=16,
+                      base_type="tgn", dropout=0.0)
+    key0 = jax.random.PRNGKey(1)
+    _, subs0, walks0 = sample_explainer_inputs(g, key0, batch, dst_table, n)
+    exp_params = explainer.init({"params": key0}, feats, walks0[0], batch.ts,
+                                subs0[0], method=TempME.init_all)
+    exp_opt = optax.adam(1e-3)
+    null_dist = jnp.full((12,), 1 / 12.0)
+
+    def run():
+        with mesh:
+            estep, eplace, eplace_batch = make_sharded_explainer_train_step(
+                explainer, contrast, g, feats, dst_table, n, null_dist,
+                exp_opt, mesh)
+            ep, eo, ek = eplace(exp_params, exp_opt.init(exp_params), key0)
+            ep, eo, ek, eloss = estep(ep, eo, ek, eplace_batch(batch))
+            jax.block_until_ready(eloss)
+        return float(eloss)
+
+    monkeypatch.setenv("TEMPME_PALLAS", "1")
+    monkeypatch.setenv("TEMPME_SAMPLE_KERNEL", "1")
+    hits = {"union": 0, "masked": 0, "w2e": 0}
+    orig_union, orig_masked = SK.sample_union, SK.sample_masked_union
+    orig_w2e = pk.walk_to_edge_max
+
+    def spy_union(*a, **kw):
+        hits["union"] += 1
+        return orig_union(*a, **kw)
+
+    def spy_masked(*a, **kw):
+        hits["masked"] += 1
+        return orig_masked(*a, **kw)
+
+    def spy_w2e(*a, **kw):
+        hits["w2e"] += 1
+        return orig_w2e(*a, **kw)
+
+    monkeypatch.setattr(SK, "sample_union", spy_union)
+    monkeypatch.setattr(SK, "sample_masked_union", spy_masked)
+    monkeypatch.setattr(pk, "walk_to_edge_max", spy_w2e)
+    loss_k = run()
+    assert all(hits.values()), f"kernels not dispatched under mesh: {hits}"
+
+    monkeypatch.setenv("TEMPME_PALLAS", "0")
+    monkeypatch.setenv("TEMPME_SAMPLE_KERNEL", "0")
+    monkeypatch.setattr(SK, "sample_union", orig_union)
+    monkeypatch.setattr(SK, "sample_masked_union", orig_masked)
+    monkeypatch.setattr(pk, "walk_to_edge_max", orig_w2e)
+    loss_j = run()
+    np.testing.assert_allclose(loss_k, loss_j, rtol=1e-5, atol=1e-6)
