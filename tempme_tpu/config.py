@@ -164,6 +164,12 @@ def add_common_args(p, bs: int = 256, n_epoch: int = 20, lr: float = 1e-3):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_dir", type=str, default="tb_logs")
     p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--ckpt_every_steps", type=int, default=0,
+                   help="checkpoint the full train state every N steps so "
+                        "--resume restarts mid-epoch (SURVEY §5.3 "
+                        "restart-from-step; 0 = per-epoch only). Long-epoch "
+                        "runs under the stall watchdog should set this well "
+                        "below the observed fault interval.")
     return p
 
 

@@ -179,7 +179,7 @@ def main(argv=None):
     # full-train-state checkpoint for stop/resume (params + optimizer state +
     # RNG + stopper; the reference has no resume story, SURVEY.md §5.4)
     train_ckpt = ckpt_path + ".train_state"
-    start_epoch = 0
+    start_epoch, start_step = 0, 0
     if args.resume and osp.exists(train_ckpt):
         from ..utils.checkpoint import load_checkpoint
         blob, tmeta = load_checkpoint(train_ckpt,
@@ -188,10 +188,18 @@ def main(argv=None):
                                        "key": state.key})
         state = loops.TrainState(blob["params"], blob["opt_state"],
                                  blob["key"])
-        start_epoch = tmeta["epoch"] + 1
         best = tmeta["best"]
         stopper.load_state_dict(tmeta["stopper"])
-        print(f"resumed from {train_ckpt} at epoch {start_epoch}")
+        # meta "step" >= 0 marks a mid-epoch checkpoint (--ckpt_every_steps):
+        # re-enter that epoch and skip the completed steps (the batch order
+        # is deterministic in seed+epoch)
+        if tmeta.get("step", -1) >= 0:
+            start_epoch, start_step = tmeta["epoch"], tmeta["step"]
+            print(f"resumed from {train_ckpt} at epoch {start_epoch} "
+                  f"step {start_step}")
+        else:
+            start_epoch = tmeta["epoch"] + 1
+            print(f"resumed from {train_ckpt} at epoch {start_epoch}")
     logger = MetricsLogger(
         args.log_dir,
         run_name=time.strftime(f"{args.base_type}_{args.data}_%Y%m%d_%H%M%S"))
@@ -201,7 +209,8 @@ def main(argv=None):
     # r4: sample/fwd/bwd/5x full step all ok at bs=32, scan faults —
     # PERF.md "3-layer TGAT"). Per-batch stepping costs only dispatch
     # latency (~ms against a ~750 ms step), so deep TGAT steps per batch.
-    use_scan = not (args.base_type == "tgat" and k >= 3)
+    use_scan = not (args.base_type == "tgat" and k >= 3) \
+        and not args.ckpt_every_steps and not start_step
     epoch_fn = loops.make_base_train_epoch(train_step) if use_scan else None
     from ..utils import debug
     if debug.enabled():
@@ -215,10 +224,23 @@ def main(argv=None):
             state, auxs = epoch_fn(state, batches)
         else:
             aux_list = []
-            for i in range(batches.src.shape[0]):
+            first = start_step if epoch == start_epoch else 0
+            if first:
+                print(f"  (mid-epoch resume: skipping {first} completed "
+                      f"steps; epoch metrics cover the remainder)")
+            for i in range(first, batches.src.shape[0]):
                 b_i = loops.Batch(*(x[i] for x in batches))
                 state, aux = train_step(state, b_i)
                 aux_list.append(aux)
+                if args.ckpt_every_steps and \
+                        (i + 1) % args.ckpt_every_steps == 0 and \
+                        i + 1 < batches.src.shape[0]:
+                    jax.block_until_ready(aux["loss"])
+                    save_params(train_ckpt, {"params": state.params,
+                                             "opt_state": state.opt_state,
+                                             "key": state.key},
+                                meta=dict(epoch=epoch, step=i + 1, best=best,
+                                          stopper=stopper.state_dict()))
             auxs = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_list)
         jax.block_until_ready(auxs["loss"])
         if debug.enabled():
@@ -226,9 +248,10 @@ def main(argv=None):
                 debug.assert_donated(prev_state, where="base epoch scan")
             debug.check_finite(state.params, "params after epoch")
         dt = time.time() - t0
-        n_batches = batches.src.shape[0]
-        n_events = n_batches * args.bs
         losses = np.asarray(auxs["loss"])
+        # after a mid-epoch resume only the remaining steps ran this process
+        n_batches = losses.shape[0]
+        n_events = n_batches * args.bs
         pos = 1 / (1 + np.exp(-np.asarray(auxs["pos"])))   # [K, B]
         neg = 1 / (1 + np.exp(-np.asarray(auxs["neg"])))
         aps, aucs = [], []

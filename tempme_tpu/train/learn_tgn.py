@@ -156,7 +156,7 @@ def main(args, cfg=None):
     # stop/resume train-state checkpoint (params + optimizer + RNG + memory +
     # stopper — the TGN memory is part of the sequential training state)
     train_ckpt = ckpt_path + ".train_state"
-    start_epoch = 0
+    start_epoch, start_step = 0, 0
     if getattr(args, "resume", False) and osp.exists(train_ckpt):
         from ..utils.checkpoint import load_checkpoint
         blob, tmeta = load_checkpoint(train_ckpt,
@@ -166,15 +166,21 @@ def main(args, cfg=None):
         state = loops.TrainState(blob["params"], blob["opt_state"],
                                  blob["key"])
         mem = blob["memory"]
-        start_epoch = tmeta["epoch"] + 1
         best = tmeta["best"]
         stopper.load_state_dict(tmeta["stopper"])
-        print(f"resumed from {train_ckpt} at epoch {start_epoch}")
+        if tmeta.get("step", -1) >= 0:   # mid-epoch (--ckpt_every_steps)
+            start_epoch, start_step = tmeta["epoch"], tmeta["step"]
+            print(f"resumed from {train_ckpt} at epoch {start_epoch} "
+                  f"step {start_step}")
+        else:
+            start_epoch = tmeta["epoch"] + 1
+            print(f"resumed from {train_ckpt} at epoch {start_epoch}")
     from ..utils.logging import MetricsLogger
     logger = MetricsLogger(
         args.log_dir,
         run_name=time.strftime(f"tgn_{args.data}_%Y%m%d_%H%M%S"))
-    epoch_fn = loops.make_tgn_train_epoch(train_step)
+    use_scan = not args.ckpt_every_steps and not start_step
+    epoch_fn = loops.make_tgn_train_epoch(train_step) if use_scan else None
     from ..utils import debug
     if debug.enabled():
         debug.install()
@@ -183,17 +189,41 @@ def main(args, cfg=None):
         batches = loops.stack_batches(ds.train, args.bs, shuffle=True,
                                       seed=args.seed + epoch)
         prev_state, prev_mem = state, mem
-        state, mem, auxs = epoch_fn(state, mem, batches)
+        if use_scan:
+            state, mem, auxs = epoch_fn(state, mem, batches)
+        else:
+            aux_list = []
+            first = start_step if epoch == start_epoch else 0
+            if first:
+                print(f"  (mid-epoch resume: skipping {first} completed "
+                      f"steps; epoch metrics cover the remainder)")
+            for i in range(first, batches.src.shape[0]):
+                b_i = loops.Batch(*(x[i] for x in batches))
+                state, mem, aux = train_step(state, mem, b_i)
+                aux_list.append(aux)
+                if args.ckpt_every_steps and \
+                        (i + 1) % args.ckpt_every_steps == 0 and \
+                        i + 1 < batches.src.shape[0]:
+                    jax.block_until_ready(aux["loss"])
+                    save_params(train_ckpt,
+                                {"params": state.params,
+                                 "opt_state": state.opt_state,
+                                 "key": state.key, "memory": mem},
+                                meta=dict(epoch=epoch, step=i + 1, best=best,
+                                          stopper=stopper.state_dict()))
+            auxs = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_list)
         jax.block_until_ready(auxs["loss"])
         if debug.enabled():
-            debug.assert_donated(prev_state, prev_mem,
-                                 where="tgn epoch scan")
+            if use_scan:
+                debug.assert_donated(prev_state, prev_mem,
+                                     where="tgn epoch scan")
             debug.check_finite(state.params, "params after epoch")
             debug.check_finite(mem.memory, "tgn memory after epoch")
         dt = time.time() - t0
-        k = batches.src.shape[0]
-        n_events = k * args.bs
         losses = np.asarray(auxs["loss"])
+        # after a mid-epoch resume only the remaining steps ran this process
+        k = losses.shape[0]
+        n_events = k * args.bs
         pos = 1 / (1 + np.exp(-np.asarray(auxs["pos"])))
         neg = 1 / (1 + np.exp(-np.asarray(auxs["neg"])))
         aps = []

@@ -295,3 +295,138 @@ def test_explainer_and_enhance_resume(workdir):
         enh_main([a if a != "1" or common[common.index(a) - 1] != "--n_epoch"
                   else "2" for a in common] + ["--resume"])
     assert "resumed from" in buf.getvalue()
+
+
+def test_step_interval_checkpoint_resume(workdir, monkeypatch):
+    """--ckpt_every_steps (SURVEY §5.3 restart-from-step, VERDICT r4
+    missing#4): kill a run mid-epoch after a step-interval checkpoint, resume
+    with --resume, and the final train state must be byte-identical to an
+    uninterrupted run (same stepwise execution path)."""
+    from tempme_tpu.train import learn_base
+
+    def argv(out, epochs):
+        return ["--data", "synth", "--data_dir", str(workdir),
+                "--bs", str(BS), "--seed", "0",
+                "--log_dir", str(workdir / "tb"),
+                "--results_dir", str(workdir / "results"),
+                "--base_type", "graphmixer", "--n_degree", str(N_DEGREE),
+                "--n_layer", "2", "--n_epoch", str(epochs),
+                "--ckpt_every_steps", "3",
+                "--out_dir", str(out)]
+
+    a = workdir / "stepckpt_oneshot"
+    learn_base.main(argv(a, 2))
+
+    # crashed run: abort right after the 2nd step-interval checkpoint of
+    # epoch 1 lands on disk (simulates the watchdog SIGKILL)
+    b = workdir / "stepckpt_crash"
+    orig_save = learn_base.save_params
+    seen = []
+
+    class _Killed(Exception):
+        pass
+
+    def killing_save(path, blob, meta=None):
+        out = orig_save(path, blob, meta=meta)
+        if meta and meta.get("step", -1) >= 0 and meta["epoch"] == 1:
+            seen.append(meta["step"])
+            if len(seen) == 2:
+                raise _Killed()
+        return out
+
+    monkeypatch.setattr(learn_base, "save_params", killing_save)
+    with pytest.raises(_Killed):
+        learn_base.main(argv(b, 2))
+    monkeypatch.setattr(learn_base, "save_params", orig_save)
+
+    meta = json.loads((b / "graphmixer_synth.msgpack.train_state.json")
+                      .read_text())
+    assert meta["epoch"] == 1 and meta["step"] == seen[-1] > 0
+
+    learn_base.main(argv(b, 2) + ["--resume"])
+    blob_a = (a / "graphmixer_synth.msgpack.train_state").read_bytes()
+    blob_b = (b / "graphmixer_synth.msgpack.train_state").read_bytes()
+    assert blob_a == blob_b, "mid-epoch resumed state != uninterrupted state"
+
+
+def test_step_interval_checkpoint_resume_tgn(workdir, monkeypatch):
+    """Same restart-from-step contract for the stateful TGN path: the
+    step-interval checkpoint carries the memory mid-stream."""
+    from tempme_tpu.train import learn_base, learn_tgn
+
+    def argv(out, epochs):
+        return ["--data", "synth", "--data_dir", str(workdir),
+                "--bs", str(BS), "--seed", "0",
+                "--log_dir", str(workdir / "tb"),
+                "--results_dir", str(workdir / "results"),
+                "--base_type", "tgn", "--n_degree", str(N_DEGREE),
+                "--n_epoch", str(epochs), "--ckpt_every_steps", "4",
+                "--out_dir", str(out)]
+
+    a = workdir / "stepckpt_tgn_oneshot"
+    learn_base.main(argv(a, 2))
+
+    b = workdir / "stepckpt_tgn_crash"
+    orig_save = learn_tgn.save_params
+    seen = []
+
+    class _Killed(Exception):
+        pass
+
+    def killing_save(path, blob, meta=None):
+        out = orig_save(path, blob, meta=meta)
+        if meta and meta.get("step", -1) >= 0 and meta["epoch"] == 0:
+            seen.append(meta["step"])
+            raise _Killed()
+        return out
+
+    monkeypatch.setattr(learn_tgn, "save_params", killing_save)
+    with pytest.raises(_Killed):
+        learn_base.main(argv(b, 2))
+    monkeypatch.setattr(learn_tgn, "save_params", orig_save)
+
+    learn_base.main(argv(b, 2) + ["--resume"])
+    blob_a = (a / "tgn_synth.msgpack.train_state").read_bytes()
+    blob_b = (b / "tgn_synth.msgpack.train_state").read_bytes()
+    assert blob_a == blob_b
+
+
+def test_explainer_step_interval_resume(workdir):
+    """--ckpt_every_steps on the explainer driver: a mid-epoch kill resumes
+    from the last step interval and the run completes with a best
+    checkpoint."""
+    args = ["--data", "synth", "--data_dir", str(workdir),
+            "--bs", str(BS), "--seed", "0", "--n_epoch", "1",
+            "--log_dir", str(workdir / "tb"),
+            "--results_dir", str(workdir / "results"),
+            "--base_type", "graphmixer", "--out_dim", "8", "--hid_dim", "16",
+            "--ckpt_dir", str(workdir / "params"), "--ckpt_every_steps", "2"]
+    from tempme_tpu.train import temp_exp_main
+
+    # cooperative kill: abort after the 2nd step checkpoint
+    orig_save = temp_exp_main.save_params
+    seen = []
+
+    class _Killed(Exception):
+        pass
+
+    def killing_save(path, blob, meta=None):
+        out_ = orig_save(path, blob, meta=meta)
+        if meta and meta.get("step", -1) >= 0:
+            seen.append(meta["step"])
+            if len(seen) == 2:
+                raise _Killed()
+        return out_
+
+    temp_exp_main.save_params = killing_save
+    try:
+        with pytest.raises(_Killed):
+            temp_exp_main.main(args)
+    finally:
+        temp_exp_main.save_params = orig_save
+    ckpt = workdir / "params" / "explainer" / "graphmixer" / "synth.msgpack"
+    meta = json.loads((workdir / "params" / "explainer" / "graphmixer" /
+                       "synth.msgpack.train_state.json").read_text())
+    assert meta["step"] == seen[-1] > 0
+    temp_exp_main.main(args + ["--resume"])
+    assert ckpt.exists()
