@@ -52,6 +52,16 @@ class TemporalGraph:
     dense_ts: jnp.ndarray | None = None       # [N, C] f32 (+inf padded)
     dense_node: jnp.ndarray | None = None     # [N, C] f32
     dense_eid: jnp.ndarray | None = None      # [N, C] f32
+    # Secondary CSR sorted by (node, neighbor, ts) with the SAME ``off``
+    # slices: entries of one (node, neighbor) pair are contiguous and
+    # time-sorted, so "events of node n with neighbor x strictly before t"
+    # is one O(log deg) double bisect — the size-oblivious form of
+    # get_final_step's candidate filtering (utils/graph.py:353-474). The
+    # time-ordered chunk scan this replaces was O(max_degree) per walk,
+    # which collapses on heavy-tailed graphs (reddit-scale hot nodes).
+    bynb_ngh: jnp.ndarray | None = None       # [T] int32
+    bynb_eid: jnp.ndarray | None = None       # [T] int32
+    bynb_ts: jnp.ndarray | None = None        # [T] float32
 
 
 DENSE_MAX_DEGREE = 2048       # per-row padded width cap
@@ -111,10 +121,16 @@ def build_temporal_graph(events: EventStream,
         dense_node = jnp.asarray(dnd)
         dense_eid = jnp.asarray(ded)
 
+    # secondary CSR sorted by (node, neighbor, ts) — same off slices
+    order2 = np.lexsort((np.arange(len(src)), ts, ngh.astype(np.int64), src))
+
     return TemporalGraph(
         ngh_node=jnp.asarray(ngh_s),
         ngh_eid=jnp.asarray(eid_s),
         ngh_ts=jnp.asarray(ts_s),
+        bynb_ngh=jnp.asarray(ngh[order2]),
+        bynb_eid=jnp.asarray(eid[order2]),
+        bynb_ts=jnp.asarray(ts[order2]),
         off=jnp.asarray(off),
         edge_ts=jnp.asarray(edge_ts),
         num_nodes=int(num_nodes),

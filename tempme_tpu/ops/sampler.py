@@ -16,7 +16,8 @@ Semantics parity with the reference:
 * ``find_k_walks`` + ``get_next_step`` + ``get_final_step``
   (utils/graph.py:265-476): 3-event temporal motif walks with the 12-class
   anonymous codes. The branchy per-walk case analysis becomes masked candidate
-  scoring (chunked Gumbel-argmax) over the union of two CSR slices.
+  selection over the union of two CSR slices: Gumbel-argmax on the dense/
+  Pallas paths, exact O(log deg) candidate-range counting on the CSR path.
 """
 from __future__ import annotations
 
@@ -368,7 +369,7 @@ def _union_uniform_sample(g: TemporalGraph, key,
 
 def _masked_union_sample(g: TemporalGraph, key,
                          node_a, node_b, eid_cut,
-                         va1, va2, vb1, wildcard, chunk: int = 128):
+                         va1, va2, vb1, wildcard):
     """Uniformly sample ONE event from the union of node_a's / node_b's
     histories cut before edge ``eid_cut``, restricted to candidate targets:
 
@@ -377,8 +378,10 @@ def _masked_union_sample(g: TemporalGraph, key,
       * no restriction where ``wildcard`` is True (the reference's third case).
 
     This is the vectorized form of ``get_final_step``'s per-walk filtered
-    sampling (utils/graph.py:353-474), implemented as chunked Gumbel-argmax
-    (iid Gumbel over matching positions => exact uniform over matches).
+    sampling (utils/graph.py:353-474). The dense/Pallas paths use full-width
+    Gumbel-argmax; the CSR path counts candidates exactly via the
+    (node, neighbor, ts)-sorted secondary CSR and picks one index — both are
+    exact-uniform over the candidate set.
 
     Returns (src_node, ngh_node, eid, ts, found).
     """
@@ -441,54 +444,81 @@ def _masked_union_sample(g: TemporalGraph, key,
         out_ts = jnp.where(found, pick(rows_ts_a, rows_ts_b), 0.0)
         return out_src, out_ngh, out_eid, out_ts, found
 
+    # CSR path: size-oblivious O(log deg) candidate counting over the
+    # (node, neighbor, ts)-sorted secondary CSR — "events of node n with
+    # neighbor x strictly before t" is a contiguous range found by a double
+    # bisect, so uniform sampling over the candidate set is a count + one
+    # index pick. Replaces the r4 chunked Gumbel scan, which was
+    # O(max_degree) per walk and collapsed on heavy-tailed graphs
+    # (reddit-scale hot nodes: 700+ sequential 128-wide chunks).
     start_a, cut_a = cut_by_edge(g, node_a, eid_cut)
     start_b, cut_b = cut_by_edge(g, node_b, eid_cut)
-    max_len = jnp.maximum(jnp.max(cut_a), jnp.max(cut_b))
+    t_cut = g.edge_ts[eid_cut.astype(jnp.int32)]
 
-    def scan_list(carry_key, start, cut, src_id, allow1, allow2, use2):
-        """Chunked Gumbel-argmax over one CSR slice with target filtering."""
-        def cond(state):
-            c, _, _ = state
-            return c * chunk < max_len
+    def nb_lower(nodes, ngh_val, ts_val):
+        """First index in node's slice with (bynb_ngh, bynb_ts) >=
+        (ngh_val, ts_val) — vectorized bisect over the secondary CSR."""
+        nodes32 = nodes.astype(jnp.int32)
+        lo = g.off[nodes32]
+        hi = g.off[nodes32 + 1]
 
-        def body(state):
-            c, best_score, best_pos = state
-            offs = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (q, chunk), 1)
-            pos = start[:, None] + offs
-            in_range = offs < cut[:, None]
-            ngh = g.ngh_node[pos]
-            match = wildcard[:, None] | (ngh == allow1[:, None])
-            match = match | (use2[:, None] & (ngh == allow2[:, None]))
-            ok = in_range & match
-            gum = jax.random.gumbel(jax.random.fold_in(carry_key, c), (q, chunk))
-            score = jnp.where(ok, gum, neg_inf)
-            cb = jnp.max(score, axis=-1)
-            cp = pos[jnp.arange(q), jnp.argmax(score, axis=-1)]
-            take = cb > best_score
-            return (c + 1, jnp.where(take, cb, best_score),
-                    jnp.where(take, cp, best_pos))
+        def body(_, lohi):
+            lo, hi = lohi
+            active = lo < hi
+            mid = (lo + hi) // 2
+            nm = g.bynb_ngh[mid]
+            tm = g.bynb_ts[mid]
+            below = (nm < ngh_val) | ((nm == ngh_val) & (tm < ts_val))
+            lo = jnp.where(active & below, mid + 1, lo)
+            hi = jnp.where(active & ~below, mid, hi)
+            return lo, hi
 
-        init = (jnp.int32(0), jnp.full((q,), neg_inf), jnp.zeros((q,), jnp.int32))
-        _, sc, ps = lax.while_loop(cond, body, init)
-        return sc, ps
+        lo, hi = lax.fori_loop(0, _bisect_iters(g), body, (lo, hi))
+        return lo
 
-    key_a, key_b = jax.random.split(key)
-    sc_a, pos_a = scan_list(key_a, start_a, cut_a, node_a, va1, va2,
-                            jnp.ones((q,), bool))
-    sc_b, pos_b = scan_list(key_b, start_b, cut_b, node_b, vb1, vb1,
-                            jnp.zeros((q,), bool))
+    neg = jnp.full_like(t_cut, -jnp.inf)
 
-    # Gumbel-argmax across the two lists stays exact-uniform over the union.
-    from_a = sc_a >= sc_b
-    best = jnp.where(from_a, sc_a, sc_b)
-    found = best > neg_inf
-    pos = jnp.where(from_a, pos_a, pos_b)
+    def cand_range(nodes, x, empty):
+        lo = nb_lower(nodes, x, neg)
+        hi = nb_lower(nodes, x, t_cut)
+        cnt = jnp.where(empty, 0, hi - lo)
+        return lo, cnt
+
+    empty_a = (node_a == 0) | (eid_cut == 0)
+    empty_b = (node_b == 0) | (eid_cut == 0)
+    lo_a1, cnt_a1 = cand_range(node_a, va1, empty_a)
+    lo_a2, cnt_a2 = cand_range(node_a, va2, empty_a)
+    lo_b1, cnt_b1 = cand_range(node_b, vb1, empty_b)
+
+    # wildcard rows sample uniformly from the FULL cut histories (the
+    # reference's unrestricted third case); match rows from the filtered
+    # candidate ranges. cut_by_edge already zeroes cuts on empties.
+    m_a = jnp.where(wildcard, cut_a, cnt_a1 + cnt_a2)
+    m_b = jnp.where(wildcard, cut_b, cnt_b1)
+    total = m_a + m_b
+    found = total > 0
+
+    u = jax.random.uniform(key, (q,))
+    r = jnp.floor(u * total.astype(jnp.float32)).astype(jnp.int32)
+    r = jnp.clip(r, 0, jnp.maximum(total - 1, 0))
+    from_a = r < m_a
+    local = jnp.where(from_a, r, r - m_a)
+    # position in the time-sorted arrays (wildcard rows)
+    pos_t = jnp.where(from_a, start_a, start_b) + local
+    # position in the (node, ngh, ts)-sorted arrays (match rows)
+    in_a1 = from_a & (local < cnt_a1)
+    pos_n = jnp.where(in_a1, lo_a1 + local,
+                      jnp.where(from_a, lo_a2 + (local - cnt_a1),
+                                lo_b1 + local))
+    out_ngh = jnp.where(wildcard, g.ngh_node[pos_t], g.bynb_ngh[pos_n])
+    out_eid = jnp.where(wildcard, g.ngh_eid[pos_t], g.bynb_eid[pos_n])
+    out_ts = jnp.where(wildcard, g.ngh_ts[pos_t], g.bynb_ts[pos_n])
     src = jnp.where(from_a, node_a, node_b)
-    out_src = jnp.where(found, src, 0)
-    out_ngh = jnp.where(found, g.ngh_node[pos], 0)
-    out_eid = jnp.where(found, g.ngh_eid[pos], 0)
-    out_ts = jnp.where(found, g.ngh_ts[pos], 0.0)
-    return out_src, out_ngh, out_eid, out_ts, found
+    return (jnp.where(found, src, 0),
+            jnp.where(found, out_ngh, 0),
+            jnp.where(found, out_eid, 0),
+            jnp.where(found, out_ts, 0.0),
+            found)
 
 
 def find_k_walks(g: TemporalGraph, key, src: jnp.ndarray,

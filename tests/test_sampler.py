@@ -335,3 +335,100 @@ def test_dense_path_bitwise_matches_csr(events):
                 np.asarray(x), np.asarray(y),
                 err_msg=f"dense vs csr mismatch in {name} "
                         f"(eids={'on' if use_eids is not None else 'off'})")
+
+
+def test_find_k_walks_validity_csr_path(events):
+    """The CSR walk path (dense layout stripped — the large-graph regime
+    where heavy-tailed degrees disable the dense/Pallas paths) must produce
+    oracle-valid walks: every sampled event 2/3 is a member of the exact
+    candidate set, with correct anonymous codes. Exercises the O(log deg)
+    secondary-CSR candidate counting that replaced the r4 chunk scan."""
+    import dataclasses
+    g = build_temporal_graph(events)
+    assert g.bynb_ngh is not None
+    g_csr = dataclasses.replace(g, dense_ts=None, dense_node=None,
+                                dense_eid=None)
+    oracle = Oracle(events)
+    b, n1, n2 = 12, 6, 3
+    r = np.random.RandomState(5)
+    src = r.randint(1, events.num_nodes, b).astype(np.int32)
+    times = np.full(b, float(events.ts.max()) + 1, np.float32)
+    sub = S.find_k_hop(g_csr, jax.random.PRNGKey(7), jnp.asarray(src),
+                       jnp.asarray(times), 2, n1)
+    walks = S.find_k_walks(g_csr, jax.random.PRNGKey(8), jnp.asarray(src),
+                           sub, n1, n2)
+    nodes = np.asarray(walks.nodes)
+    eids = np.asarray(walks.eids)
+    tss = np.asarray(walks.ts)
+    anony = np.asarray(walks.anony)
+    for i in range(b):
+        for w in range(n1 * n2):
+            s3, u3, s2, u2, s1, u1 = (int(v) for v in nodes[i, w])
+            e3, e2, e1 = (int(v) for v in eids[i, w])
+            pre_a = oracle.prefix_by_edge(s1, e1)
+            pre_b = oracle.prefix_by_edge(u1, e1)
+            if not pre_a and not pre_b:
+                assert s2 == 0 and u2 == 0 and e2 == 0
+            else:
+                u_cands = [(s1, *c) for c in pre_a] + [(u1, *c) for c in pre_b]
+                assert (s2, u2, e2, float(tss[i, w, 1])) in u_cands
+            cands, x = _walk_case_oracle(oracle, s1, u1, s2, u2, e2)
+            assert anony[i, w, 0] == 1 and anony[i, w, 1] == x
+            if not cands:
+                assert s3 == 0 and u3 == 0 and e3 == 0
+                assert anony[i, w, 2] == 0
+            else:
+                assert (s3, u3, e3, float(tss[i, w, 0])) in cands
+
+
+def test_masked_union_csr_uniform_over_candidates(events):
+    """The CSR masked-union sampler must be exact-uniform over the candidate
+    set: over many keys, each candidate of a fixed (node_a, node_b, cut,
+    targets) query is drawn with equal frequency (chi-square-style bound)."""
+    import dataclasses
+    g = build_temporal_graph(events)
+    g_csr = dataclasses.replace(g, dense_ts=None, dense_node=None,
+                                dense_eid=None)
+    oracle = Oracle(events)
+    # find a query with a few candidates: node_a with >=2 distinct neighbors
+    rng = np.random.RandomState(3)
+    picked = None
+    for _ in range(200):
+        na = int(rng.randint(1, events.num_nodes))
+        nb = int(rng.randint(1, events.num_nodes))
+        e_cut = int(rng.randint(len(events) // 2, len(events)))
+        pre_a = oracle.prefix_by_edge(na, e_cut)
+        pre_b = oracle.prefix_by_edge(nb, e_cut)
+        nghs_a = sorted({c[0] for c in pre_a})
+        nghs_b = sorted({c[0] for c in pre_b})
+        if len(nghs_a) >= 2 and len(nghs_b) >= 1:
+            va1, va2 = nghs_a[0], nghs_a[1]
+            vb1 = nghs_b[0]
+            cands = ([(na, *c) for c in pre_a if c[0] in (va1, va2)]
+                     + [(nb, *c) for c in pre_b if c[0] == vb1])
+            if len(cands) >= 3:
+                picked = (na, nb, e_cut, va1, va2, vb1, cands)
+                break
+    assert picked is not None, "test graph has no suitable query"
+    na, nb, e_cut, va1, va2, vb1, cands = picked
+
+    n_rep = 400
+    arr = lambda v: jnp.full((n_rep,), v, jnp.int32)
+    src, ngh, eid, ts, found = S._masked_union_sample(
+        g_csr, jax.random.PRNGKey(42), arr(na), arr(nb), arr(e_cut),
+        arr(va1), arr(va2), arr(vb1), jnp.zeros((n_rep,), bool))
+    assert bool(np.asarray(found).all())
+    drawn = list(zip(np.asarray(src).tolist(), np.asarray(ngh).tolist(),
+                     np.asarray(eid).tolist(),
+                     np.asarray(ts, np.float32).tolist()))
+    cand_tuples = {(p[0], p[1], p[2], float(p[3])) for p in cands}
+    counts = {c: 0 for c in cand_tuples}
+    for d in drawn:
+        assert d in cand_tuples, f"drew non-candidate {d}"
+        counts[d] += 1
+    k = len(cand_tuples)
+    expected = n_rep / k
+    for c, cnt in counts.items():
+        # 5-sigma binomial bound
+        sigma = (n_rep * (1 / k) * (1 - 1 / k)) ** 0.5
+        assert abs(cnt - expected) < 5 * sigma + 1, (c, cnt, expected)
