@@ -71,6 +71,25 @@ class TGATAttnLayer(nn.Module):
                               deterministic=deterministic)
         return self.merger(out, src), attn
 
+    def multi_mask(self, src, src_t, k_nv, v_nv, k_ev, v_ev, ngh_t,
+                   q_keep, kv_keep, kv_pad):
+        """Ratio-sweep block: attention + merge under R simultaneous keep
+        masks, sharing the ratio-invariant gathers/projections/time
+        encodings (threshold_test semantics: a dropped edge's node features
+        become the zero row; edge/time features stay real). ``kv_keep=None``
+        means the children of this level are never masked (3-layer TGAT hop
+        2) — K/V and both score terms are then computed once."""
+        if kv_keep is None:
+            out = self.attn.multi_mask_shared_kv(
+                src, src_t, k_nv, v_nv, k_ev, v_ev, ngh_t, q_keep, kv_pad,
+                residual_zeros=self.edge_dim)
+        else:
+            out = self.attn.multi_mask(
+                src, src_t, k_nv, v_nv, k_ev, v_ev, ngh_t, q_keep, kv_keep,
+                residual_zeros=self.edge_dim)
+        src_r = src[None] * q_keep[..., None].astype(src.dtype)
+        return self.merger(out, src_r)
+
 
 def _level_raw(mdl, layer, level, det, node_par, d_par, node_child, eids,
                d_child, mask, ew, node_tab, edge_tab, k_tab, v_tab):
@@ -291,6 +310,84 @@ class TGAT(nn.Module):
                 new_hidden.append(out)
             hidden = new_hidden
         return hidden[0].squeeze(1)
+
+    def _ratio_embed(self, feats: Features, anchors, cut_time, sub: Subgraph,
+                     keeps) -> jnp.ndarray:
+        """Pyramid embedding under R simultaneous ratio keep masks
+        (threshold_test semantics, temp_exp_main.py:159-241; VERDICT r4
+        weak#3): ``keeps`` is a per-hop list of [R, B, n^(h+1)] bools
+        covering hops 0..len(keeps)-1 (the explainer's importance covers 2
+        hops; deeper hops are never masked). All ratio-invariant work —
+        gathers, table projections, time encodings, and for unmasked-children
+        levels even the attention scores — is computed once; stack layers
+        >= 1 fold R into the batch. Returns [R, B, node_dim]."""
+        assert self._uses_split_attention and self.num_layers >= 2
+        n = sub.nodes[0].shape[1]
+        l = self.num_layers
+        b = anchors.shape[0]
+        r = keeps[0].shape[0]
+        nk = len(keeps)
+        node_levels = [anchors[:, None]] + list(sub.nodes)
+        base_pad = [nodes == 0 for nodes in sub.nodes]
+        deltas = self._time_deltas(cut_time, sub, n)
+
+        lay0 = self.attn_layers[0]
+        k_tab, v_tab = lay0.project_node_table(feats.node)
+        hidden = []
+        for i in range(l):
+            q_node = gather_rows(feats.node, node_levels[i])
+            k_nv = gather_rows(k_tab, node_levels[i + 1])
+            v_nv = gather_rows(v_tab, node_levels[i + 1])
+            k_ev, v_ev = lay0.project_edge(gather_rows(feats.edge,
+                                                       sub.eids[i]))
+            tfe_par = self._encode_delta(deltas[i], n, i)
+            tfe_child = self._encode_delta(deltas[i + 1], n, i + 1)
+            if i == 0:
+                q_keep = jnp.ones((r, b, 1), bool)
+            else:
+                q_keep = keeps[i - 1] & ~base_pad[i - 1]
+            kv_keep = (keeps[i] & ~base_pad[i]) if i < nk else None
+            hidden.append(lay0.multi_mask(q_node, tfe_par, k_nv, v_nv, k_ev,
+                                          v_ev, tfe_child, q_keep, kv_keep,
+                                          base_pad[i]))    # [R, B, n^i, D]
+
+        # deeper stack layers: R folds into the batch axis
+        def tile(x):
+            return jnp.broadcast_to(x[None], (r,) + x.shape).reshape(
+                (r * x.shape[0],) + x.shape[1:])
+
+        masks_r = [
+            ((base_pad[i][None] | ~keeps[i]) if i < nk
+             else jnp.broadcast_to(base_pad[i][None],
+                                   (r,) + base_pad[i].shape)
+             ).reshape((r * b,) + base_pad[i].shape[1:])
+            for i in range(l)]
+        hidden = [h.reshape((r * b,) + h.shape[2:]) for h in hidden]
+        for layer in range(1, l):
+            new_hidden = []
+            for i in range(l - layer):
+                out = _level_emb(self, layer, i, True, hidden[i],
+                                 tile(deltas[i]), hidden[i + 1],
+                                 tile(sub.eids[i]), tile(deltas[i + 1]),
+                                 masks_r[i], None, feats.edge)
+                new_hidden.append(out)
+            hidden = new_hidden
+        return hidden[0].squeeze(1).reshape(r, b, -1)
+
+    def ratio_contrast(self, feats: Features, src, tgt, bgd, cut_time,
+                       sub_src: Subgraph, sub_tgt: Subgraph,
+                       sub_bgd: Subgraph, keeps_src, keeps_tgt, keeps_bgd
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fidelity ratio sweep sharing all ratio-invariant pyramid work:
+        (pos, neg) logits [R, B] under R per-hop keep masks per side
+        (replaces R stacked ``contrast`` calls / the r4 sequential lax.map
+        over ratios). Eval-only (no dropout, no explain weights)."""
+        s = self._ratio_embed(feats, src, cut_time, sub_src, keeps_src)
+        t = self._ratio_embed(feats, tgt, cut_time, sub_tgt, keeps_tgt)
+        g = self._ratio_embed(feats, bgd, cut_time, sub_bgd, keeps_bgd)
+        pos = self.affinity_score(s, t).squeeze(-1)        # [R, B]
+        neg = self.affinity_score(s, g).squeeze(-1)
+        return pos, neg
 
     def contrast(self, feats: Features, src, tgt, bgd, cut_time,
                  sub_src: Subgraph, sub_tgt: Subgraph, sub_bgd: Subgraph,

@@ -190,8 +190,51 @@ class SplitTemporalAttention(nn.Module):
         out = self.ln(out.astype(jnp.float32) + residual)
         return out, attn.reshape(b, nq, h, n)
 
+    def multi_mask_shared_kv(self, q_node, q_time, k_nv, v_nv, k_ev, v_ev,
+                             ngh_time, q_keep, kv_pad, residual_zeros=0):
+        """Ratio-sweep form for levels whose CHILDREN are never masked (the
+        3-layer TGAT deepest level: importance covers hops 0-1 only, so hop-2
+        keys are ratio-invariant). K/V and both score terms are computed ONCE;
+        per ratio only the cheap recombination
+        ``scores_r = q_keep*(q_node.k) + q_time.k``, softmax, and the value
+        einsum run. ``kv_pad`` [B, Nq*n] is the base padding mask.
+        Returns [R, B, Nq, d_model]."""
+        b, nq, _ = q_node.shape
+        n = k_nv.shape[1] // nq
+        h, dk = self.n_head, self.d_k
+        r = q_keep.shape[0]
+        cd = self.compute_dtype
+
+        q_np = self.wq_node(q_node.astype(cd))
+        q_tp = self.wq_time(q_time.astype(cd))
+        tt = ngh_time.astype(cd)
+        k = k_nv + self.wk_time(tt)
+        v = v_nv + self.wv_time(tt)
+        if k_ev is not None:
+            k = k + k_ev
+            v = v + v_ev
+        kh = k.reshape(b, nq, n, h, dk)
+        vh = v.reshape(b, nq, n, h, dk)
+        s_np = jnp.einsum("bqhd,bqnhd->bqhn", q_np.reshape(b, nq, h, dk), kh,
+                          preferred_element_type=jnp.float32)
+        s_tp = jnp.einsum("bqhd,bqnhd->bqhn", q_tp.reshape(b, nq, h, dk), kh,
+                          preferred_element_type=jnp.float32)
+        qk = q_keep.astype(jnp.float32).reshape(r, b, nq, 1, 1)
+        scores = (s_np[None] * qk + s_tp[None]) / np.sqrt(dk)  # [R,B,Nq,h,n]
+        masked = kv_pad.reshape(1, b, nq, 1, n)
+        attn = nn.softmax(jnp.where(masked, -1e10, scores), axis=-1)
+        out = jnp.einsum("rbqhn,bqnhd->rbqhd", attn.astype(vh.dtype), vh,
+                         preferred_element_type=jnp.float32)
+        out = self.fc(out.reshape(r, b, nq, h * dk).astype(cd))
+        parts = [q_node[None] * q_keep.astype(q_node.dtype)[..., None]]
+        if residual_zeros:
+            parts.append(jnp.zeros((r, b, nq, residual_zeros), q_node.dtype))
+        parts.append(jnp.broadcast_to(q_time[None], (r,) + q_time.shape))
+        return self.ln(out.astype(jnp.float32)
+                       + jnp.concatenate(parts, axis=-1))
+
     def multi_mask(self, q_node, q_time, k_nv, v_nv, k_ev, v_ev, ngh_time,
-                   q_keep, kv_keep):
+                   q_keep, kv_keep, residual_zeros=0):
         """Ratio-sweep form (temp_exp_main.py:153-272 -> VERDICT r3 weak#3):
         the 16-ratio fidelity sweep re-ran the whole base per ratio, but the
         ratio only changes WHICH node ids are zeroed. Gathers, projections and
@@ -243,7 +286,9 @@ class SplitTemporalAttention(nn.Module):
         out = jnp.einsum("rbqhn,rbqnhd->rbqhd", attn.astype(vh.dtype), vh,
                          preferred_element_type=jnp.float32)
         out = self.fc(out.reshape(r, b, nq, h * dk).astype(cd))
-        residual = jnp.concatenate(
-            [q_node[None] * qk.astype(q_node.dtype),
-             jnp.broadcast_to(q_time[None], (r,) + q_time.shape)], axis=-1)
-        return self.ln(out.astype(jnp.float32) + residual)
+        parts = [q_node[None] * qk.astype(q_node.dtype)]
+        if residual_zeros:
+            parts.append(jnp.zeros((r, b, nq, residual_zeros), q_node.dtype))
+        parts.append(jnp.broadcast_to(q_time[None], (r,) + q_time.shape))
+        return self.ln(out.astype(jnp.float32)
+                       + jnp.concatenate(parts, axis=-1))

@@ -550,3 +550,104 @@ def test_tgn_ratio_contrast_matches_stacked_sweep(setup, ties):
                                .reshape(r, B), rtol=2e-2, atol=2e-3)
     np.testing.assert_allclose(np.asarray(neg_f), np.asarray(neg_s)
                                .reshape(r, B), rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("n_layers,ties", [(2, False), (3, False), (3, True)])
+def test_tgat_ratio_contrast_matches_stacked_sweep(setup, n_layers, ties):
+    """TGAT.ratio_contrast (shared-work pyramid sweep, VERDICT r4 weak#3)
+    must reproduce the stacked masked-subgraph forward for every ratio at
+    both supported depths, including exactly tied importances."""
+    g, feats, src, dst, ts, eidx, subs2, _ = setup
+    from tempme_tpu.models.tgat import TGAT
+    from tempme_tpu.train.temp_exp_main import (keep_masks_for_ratios,
+                                                mask_supports_for_ratios)
+    key = jax.random.PRNGKey(4)
+    subs = tuple(S.find_k_hop(g, jax.random.fold_in(key, i), x, ts,
+                              n_layers, N_DEG)
+                 for i, x in enumerate((src, dst, dst)))
+    model = TGAT(node_dim=DN, edge_dim=DE, num_layers=n_layers, n_head=2,
+                 dropout=0.0, compute_dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), feats, src, dst, dst, ts,
+                        *subs, deterministic=True)
+
+    ratios = (0.01, 0.05, 0.1, 0.2, 0.3)
+    r = len(ratios)
+    rng = np.random.RandomState(7)
+    imp0 = rng.rand(3 * B, N_DEG).astype(np.float32)
+    imp1 = rng.rand(3 * B, N_DEG * N_DEG).astype(np.float32)
+    if ties:
+        imp0 = np.round(imp0 * 4) / 4
+        imp1 = np.round(imp1 * 4) / 4
+    explanation = [jnp.asarray(imp0), jnp.asarray(imp1)]
+
+    keeps = keep_masks_for_ratios(explanation, ratios, N_DEG)
+    pos_f, neg_f = model.apply(params, feats, src, dst, dst, ts,
+                               subs[0], subs[1], subs[2],
+                               keeps[0], keeps[1], keeps[2],
+                               method=TGAT.ratio_contrast)
+
+    masked = mask_supports_for_ratios(explanation, subs, ratios, N_DEG,
+                                      "tgat")
+
+    def tile(x):
+        return jnp.broadcast_to(x[None], (r,) + x.shape).reshape(
+            (-1,) + x.shape[1:])
+
+    pos_s, neg_s = model.apply(params, feats, tile(src), tile(dst),
+                               tile(dst), tile(ts),
+                               masked[0], masked[1], masked[2],
+                               deterministic=True, method=TGAT.contrast)
+    np.testing.assert_allclose(np.asarray(pos_f),
+                               np.asarray(pos_s).reshape(r, B),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(neg_f),
+                               np.asarray(neg_s).reshape(r, B),
+                               rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("ties", [False, True])
+def test_graphmixer_ratio_contrast_matches_stacked_sweep(setup, ties):
+    """GraphMixer.ratio_contrast (shared gathers/encodings/projection, mixer
+    folded over R) must reproduce the stacked masked forward bit-for-bit up
+    to float tolerance, including the affine-projection bias at dropped
+    slots and exactly tied importances."""
+    g, feats, src, dst, ts, eidx, subs, _ = setup
+    from tempme_tpu.models.graphmixer import GraphMixer
+    from tempme_tpu.train.temp_exp_main import (keep_masks_for_ratios,
+                                                mask_supports_for_ratios)
+    model = GraphMixer(node_dim=DN, edge_dim=DE, num_tokens=N_DEG,
+                       num_layers=2, dropout=0.0)
+    params = model.init(jax.random.PRNGKey(0), feats, src, dst, dst, ts,
+                        subs[0], subs[1], subs[2], deterministic=True)
+
+    ratios = (0.01, 0.05, 0.1, 0.2, 0.3)
+    r = len(ratios)
+    rng = np.random.RandomState(9)
+    imp0 = rng.rand(3 * B, N_DEG).astype(np.float32)
+    if ties:
+        imp0 = np.round(imp0 * 4) / 4
+    explanation = [jnp.asarray(imp0)]
+
+    keeps = keep_masks_for_ratios(explanation, ratios, N_DEG, use_hops=1)
+    pos_f, neg_f = model.apply(params, feats, src, dst, dst, ts,
+                               subs[0], subs[1], subs[2],
+                               keeps[0][0], keeps[1][0], keeps[2][0],
+                               method=GraphMixer.ratio_contrast)
+
+    masked = mask_supports_for_ratios(explanation, subs, ratios, N_DEG,
+                                      "graphmixer")
+
+    def tile(x):
+        return jnp.broadcast_to(x[None], (r,) + x.shape).reshape(
+            (-1,) + x.shape[1:])
+
+    pos_s, neg_s = model.apply(params, feats, tile(src), tile(dst),
+                               tile(dst), tile(ts),
+                               masked[0], masked[1], masked[2],
+                               deterministic=True, method=GraphMixer.contrast)
+    np.testing.assert_allclose(np.asarray(pos_f),
+                               np.asarray(pos_s).reshape(r, B),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(neg_f),
+                               np.asarray(neg_s).reshape(r, B),
+                               rtol=1e-5, atol=1e-6)
