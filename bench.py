@@ -162,6 +162,82 @@ def bench_tgn_train_enron_shape(bs=256):
     return bench_tgn_train(ds, g, feats, n_epoch_passes=1, bs=bs)
 
 
+def mesh_compare(bs=256, n_degree=30, n_timed=30):
+    """Unmeshed vs mesh(1,1,1) TGN train step on the SAME (single) device,
+    Enron shape (VERDICT r4 next#1 'Done' criterion: the sharded step must
+    keep the Pallas fast paths and land within ~5% of the unmeshed step).
+
+    Both sides time the same sequence of per-step jitted calls (no scanned
+    epoch), so the comparison isolates the mesh/shard_map overhead."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tempme_tpu.data.events import RandEdgeSampler
+    from tempme_tpu.models.tgn import TGN, init_memory_state
+    from tempme_tpu.parallel import mesh as M
+    from tempme_tpu.parallel.train import make_sharded_tgn_train_step
+    from tempme_tpu.train import loops
+    from tempme_tpu.train.learn_tgn import make_tgn_train_step
+
+    ds, g, feats = _enron_shape_setup()
+    model = TGN(node_dim=ds.node_feat.shape[1], edge_dim=ds.edge_feat.shape[1],
+                num_nodes=ds.full.num_nodes, n_layers=2, n_head=2, dropout=0.1)
+    mem0 = init_memory_state(ds.full.num_nodes, model.memory_dim,
+                             model.raw_message_dim)
+    sampler = RandEdgeSampler([ds.train.src], [ds.train.dst])
+    dst_table = jnp.asarray(sampler.dst_list)
+    key = jax.random.PRNGKey(0)
+    batches = list(loops.iter_batches(ds.train, bs, shuffle=True, seed=0,
+                                      drop_remainder=True))[:n_timed + 5]
+    b0 = batches[0]
+    _, s0, s1, s2 = loops.sample_support(g, key, b0, dst_table, 2, n_degree)
+    params = model.init({"params": key, "dropout": key}, feats, mem0, b0.src,
+                        b0.dst, b0.dst, b0.ts, b0.eidx, s0, s1, s2,
+                        deterministic=True)
+    optimizer = optax.adam(1e-3)
+
+    def time_loop(one, bs_):
+        for b in bs_[:5]:
+            out = one(b)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for b in bs_[5:]:
+            out = one(b)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / len(bs_[5:])
+
+    step = make_tgn_train_step(model, g, feats, dst_table, n_degree, optimizer)
+    box = [loops.TrainState(params, optimizer.init(params), key), mem0]
+
+    def one_plain(b):
+        box[0], box[1], aux = step(box[0], box[1], b)
+        return aux["loss"]
+
+    dt_plain = time_loop(one_plain, batches)
+
+    mesh = M.make_mesh(1, 1, 1, devices=jax.devices()[:1])
+    sstep, place, place_batch = make_sharded_tgn_train_step(
+        model, g, feats, dst_table, n_degree, optimizer, mesh)
+    sbox = list(place(params, optimizer.init(params), mem0, key))
+
+    def one_mesh(b):
+        sbox[0], sbox[1], sbox[2], sbox[3], loss = sstep(
+            sbox[0], sbox[1], sbox[2], sbox[3], b)
+        return loss
+
+    dt_mesh = time_loop(one_mesh, [place_batch(b) for b in batches])
+
+    row = {"bs": bs,
+           "unmeshed_ms_per_step": round(dt_plain * 1e3, 2),
+           "mesh_1x1x1_ms_per_step": round(dt_mesh * 1e3, 2),
+           "mesh_overhead_pct": round(100.0 * (dt_mesh / dt_plain - 1.0), 1)}
+    print(f"  unmeshed {row['unmeshed_ms_per_step']} ms/step, mesh(1,1,1) "
+          f"{row['mesh_1x1x1_ms_per_step']} ms/step "
+          f"({row['mesh_overhead_pct']:+.1f}%)", flush=True)
+    return row
+
+
 def batch_sweep(bss=(256, 512, 1024, 2048)):
     """Batch-size scaling study on the Enron-shape stream (VERDICT r3
     next#4): the step is dispatch/overhead-bound at small bs, so events/s
@@ -374,11 +450,22 @@ def main():
         print(json.dumps({"metric": "large_shape_bench",
                           "rows": bench_large_shapes()}))
         return
+    if "--mesh_compare" in sys.argv[1:]:
+        print(json.dumps({"metric": "mesh_1x1x1_vs_unmeshed",
+                          "row": mesh_compare()}))
+        return
 
+    t0 = time.time()
     tgn_rate = bench_tgn_train(ds, g, feats)
+    print(f"  tgn uslegis: {tgn_rate:,.0f} ev/s ({time.time() - t0:.0f}s)",
+          flush=True)
     enron_rate = bench_tgn_train_enron_shape(
         bs=int(os.environ.get("TEMPME_BENCH_ENRON_BS", "256")))
+    print(f"  tgn enron-shape: {enron_rate:,.0f} ev/s "
+          f"({time.time() - t0:.0f}s)", flush=True)
     explain_rate, sweep_rate = bench_explainer(ds, g, feats)
+    print(f"  explainer: {explain_rate:,.0f} ev/s, sweep {sweep_rate:,.0f} "
+          f"ev/s ({time.time() - t0:.0f}s)", flush=True)
 
     payload = {
         "metric": "tgn_train_events_per_s",

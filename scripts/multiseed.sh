@@ -22,6 +22,9 @@ run() {
   if [ $rc -eq 0 ]; then touch "logs/multiseed/$name.done"; fi
 }
 
+# Phase 1: the cheap bases for BOTH seeds first, so a partial run still
+# yields complete +-std rows for TGN and GraphMixer; the expensive
+# watchdog-supervised 3-layer TGAT runs come last.
 for seed in 1 2; do
   out="params_ms/s$seed"
   res="results/multiseed/s$seed"
@@ -37,6 +40,10 @@ for seed in 1 2; do
   run "s${seed}_exp_graphmixer" python -m tempme_tpu.train.temp_exp_main \
       --base_type graphmixer --n_epoch 10 --seed $seed \
       --ckpt_dir $out --results_dir $res
+done
+for seed in 1 2; do
+  out="params_ms/s$seed"
+  res="results/multiseed/s$seed"
   # 3-layer TGAT under the stall watchdog (XLA runtime hang ~1/300-600
   # steps, PERF.md); step-interval checkpoints make --resume mid-epoch
   run "s${seed}_base_tgat" python -m tempme_tpu.tools.supervise \

@@ -152,7 +152,10 @@ def add_common_args(p, bs: int = 256, n_epoch: int = 20, lr: float = 1e-3):
     p.add_argument("--data_dir", type=str,
                    default=os.environ.get("TEMPME_DATA_DIR",
                                           "/root/reference/processed"))
-    p.add_argument("--bs", type=int, default=bs)
+    p.add_argument("--bs", type=int, default=None,
+                   help=f"batch size (default {bs}; deep-TGAT drivers shrink "
+                        "it — see resolve_bs)")
+    p.set_defaults(_bs_nominal=bs)
     p.add_argument("--n_epoch", type=int, default=n_epoch)
     p.add_argument("--lr", type=float, default=lr)
     p.add_argument("--drop_out", type=float, default=0.1)
@@ -171,6 +174,20 @@ def add_common_args(p, bs: int = 256, n_epoch: int = 20, lr: float = 1e-3):
                         "runs under the stall watchdog should set this well "
                         "below the observed fault interval.")
     return p
+
+
+def resolve_bs(args, deep_tgat_bs: int = 0) -> int:
+    """Fill args.bs when --bs was not given. The 3-layer TGAT pyramid
+    ([B,900,30] K/V gathers, fwd+bwd) needs ~80 GB HBM at the nominal
+    bs=256 — far past a 16 GB chip — so drivers that train the full deep
+    pyramid pass deep_tgat_bs (the published runs use 32) and the nominal
+    default applies everywhere else. An explicit --bs always wins."""
+    if args.bs is None:
+        deep = (deep_tgat_bs and getattr(args, "base_type", "") == "tgat"
+                and getattr(args, "n_layer", 2) >= 3)
+        args.bs = min(args._bs_nominal, deep_tgat_bs) if deep \
+            else args._bs_nominal
+    return args.bs
 
 
 def add_model_args(p):
@@ -227,8 +244,9 @@ def config_from_args(args) -> Config:
         out_dim=g("out_dim", 40), hid_dim=g("hid_dim", 64),
         prior_p=g("prior_p", 0.3), beta=g("beta", 0.5),
         dropout=g("drop_out", 0.1))
-    train = TrainConfig(batch_size=g("bs", 256),
-                        explainer_batch_size=g("bs", 100),
+    bs_resolved = g("bs", None) or g("_bs_nominal", 256)
+    train = TrainConfig(batch_size=bs_resolved,
+                        explainer_batch_size=bs_resolved,
                         lr=g("lr", 1e-3), explainer_lr=g("lr", 1e-3),
                         weight_decay=g("weight_decay", 0.0),
                         n_epoch=g("n_epoch", 20), seed=g("seed", 0))

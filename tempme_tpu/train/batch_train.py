@@ -16,7 +16,10 @@ def main(argv=None):
     p.add_argument("--n_epoch_base", type=int, default=20)
     p.add_argument("--n_epoch_exp", type=int, default=10)
     p.add_argument("--n_epoch_enh", type=int, default=10)
-    p.add_argument("--bs", type=int, default=256)
+    p.add_argument("--bs", type=int, default=None,
+                   help="base-stage batch size; default = learn_base's "
+                        "per-model resolution (256, or 32 for 3-layer TGAT "
+                        "whose pyramid OOMs a 16 GB chip at 256)")
     p.add_argument("--exp_bs", type=int, default=100)
     p.add_argument("--skip_enhance", action="store_true")
     p.add_argument("--n_layer", type=int, default=None,
@@ -34,8 +37,9 @@ def main(argv=None):
             from .learn_base import main as learn_main
             stage_results["base_ap"] = learn_main([
                 "--data", args.data, "--base_type", base_type,
-                "--n_epoch", str(args.n_epoch_base), "--bs", str(args.bs),
-                "--n_layer", str(n_layer)])
+                "--n_epoch", str(args.n_epoch_base),
+                "--n_layer", str(n_layer)]
+                + (["--bs", str(args.bs)] if args.bs is not None else []))
             from .temp_exp_main import main as exp_main
             stage_results["explainer_score"] = exp_main([
                 "--data", args.data, "--base_type", base_type,

@@ -50,6 +50,8 @@ def main(argv=None):
                         "early joint-optimization damage; 0 = reference "
                         "behavior, joint from epoch 0)")
     args = p.parse_args(argv)
+    from ..config import resolve_bs
+    resolve_bs(args)
     cfg = config_from_args(args)   # single config tree (SURVEY §5.6)
     if args.base_type == "tgat":
         # TGAT enhance: TempMETGAT sum-of-walk-scores affinity over walk

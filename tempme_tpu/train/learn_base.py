@@ -115,7 +115,8 @@ def evaluate(eval_step, params, events, batch_size, seed=0):
 
 
 def main(argv=None):
-    from ..config import add_common_args, add_model_args, config_from_args
+    from ..config import (add_common_args, add_model_args, config_from_args,
+                          resolve_bs)
     p = argparse.ArgumentParser("tempme_tpu base-model training")
     add_common_args(p, bs=256, n_epoch=20, lr=1e-3)
     add_model_args(p)
@@ -126,6 +127,7 @@ def main(argv=None):
                    help="continue from the .train_state checkpoint if present "
                         "(params + optimizer + RNG + early-stop state)")
     args = p.parse_args(argv)
+    resolve_bs(args, deep_tgat_bs=32)
     cfg = config_from_args(args)
     args.n_degree = cfg.model.n_degree    # downstream paths (tgn/eval) share it
     if args.eval_only:

@@ -210,6 +210,8 @@ def main(argv=None):
                         "(temp_exp_main.py:705-714)")
     p.add_argument("--cache_dir", type=str, default="cache")
     args = p.parse_args(argv)
+    from ..config import resolve_bs
+    resolve_bs(args)
     cfg = config_from_args(args)
     ratios = cfg.explainer.ratios
 
