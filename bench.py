@@ -327,7 +327,9 @@ def bench_explainer(ds, g, feats, n_degree=30, max_steps=None):
                              s2, deterministic=True)
     base = LoadedBase("tgn", model, base_params, mem,
                       dict(n_degree=n_degree))
-    contrast = make_base_contrast(base, feats)
+    # unbound form: feature tables enter as runtime args, not program
+    # constants (reddit-scale edge features are ~460 MB; HTTP 413 otherwise)
+    contrast_f = make_base_contrast(base)
 
     explainer = TempME(node_dim=ds.node_feat.shape[1],
                        edge_dim=ds.edge_feat.shape[1], out_dim=40, hid_dim=64,
@@ -349,12 +351,12 @@ def bench_explainer(ds, g, feats, n_degree=30, max_steps=None):
         return out
 
     @jax.jit
-    def train_step(ep, opt_state, key, batch: loops.Batch):
+    def train_step(g, feats, ep, opt_state, key, batch: loops.Batch):
         k_samp, k_drop, k_beta, k_next = jax.random.split(key, 4)
         bgd, subs, walks = sample_explainer_inputs(g, k_samp, batch, dst_table,
                                                    n_degree)
-        pos_ori, neg_ori = contrast(batch.src, batch.dst, bgd, batch.ts,
-                                    batch.eidx, *subs, None)
+        pos_ori, neg_ori = contrast_f(feats, batch.src, batch.dst, bgd,
+                                      batch.ts, batch.eidx, *subs, None)
         y_ori = (jnp.concatenate([pos_ori, neg_ori]) > 0.0).astype(jnp.float32)
 
         def loss_fn(p):
@@ -366,8 +368,8 @@ def bench_explainer(ds, g, feats, n_degree=30, max_steps=None):
                 rngs={"sample": k_beta,
                       "dropout": jax.random.fold_in(k_drop, 7)},
                 method=TempME.retrieve_explanation)
-            pos, neg = contrast(batch.src, batch.dst, bgd, batch.ts,
-                                batch.eidx, *subs, explanation)
+            pos, neg = contrast_f(feats, batch.src, batch.dst, bgd,
+                                  batch.ts, batch.eidx, *subs, explanation)
             pred = jnp.concatenate([pos, neg])
             pred_loss = optax.sigmoid_binary_cross_entropy(pred, y_ori).mean()
             kl = sum(kl_sparsity_loss(imps[i], walks[i].cat, null_dist, 0.3)
@@ -381,7 +383,7 @@ def bench_explainer(ds, g, feats, n_degree=30, max_steps=None):
     ratios = DEFAULT_RATIOS
 
     @jax.jit
-    def sweep_step(ep, key, batch: loops.Batch):
+    def sweep_step(g, feats, ep, key, batch: loops.Batch):
         k_samp, _ = jax.random.split(key)
         bgd, subs, walks = sample_explainer_inputs(g, k_samp, batch, dst_table,
                                                    n_degree)
@@ -409,8 +411,8 @@ def bench_explainer(ds, g, feats, n_degree=30, max_steps=None):
     def run_train():
         loss = None
         for b in batches:
-            box[0], box[1], box[2], loss = train_step(box[0], box[1], box[2],
-                                                      b)
+            box[0], box[1], box[2], loss = train_step(g, feats, box[0],
+                                                      box[1], box[2], b)
         return loss
 
     dt = _time_steps(run_train, 1, 3, jax.block_until_ready)
@@ -421,7 +423,7 @@ def bench_explainer(ds, g, feats, n_degree=30, max_steps=None):
     def run_sweep():
         out = None
         for b in sweep_batches:
-            out = sweep_step(box[0], box[2], b)
+            out = sweep_step(g, feats, box[0], box[2], b)
         return out
 
     dt = _time_steps(run_sweep, 1, 3, jax.block_until_ready)
@@ -455,17 +457,18 @@ def main():
                           "row": mesh_compare()}))
         return
 
+    # progress to stderr: stdout stays the single JSON line the driver parses
     t0 = time.time()
     tgn_rate = bench_tgn_train(ds, g, feats)
     print(f"  tgn uslegis: {tgn_rate:,.0f} ev/s ({time.time() - t0:.0f}s)",
-          flush=True)
+          file=sys.stderr, flush=True)
     enron_rate = bench_tgn_train_enron_shape(
         bs=int(os.environ.get("TEMPME_BENCH_ENRON_BS", "256")))
     print(f"  tgn enron-shape: {enron_rate:,.0f} ev/s "
-          f"({time.time() - t0:.0f}s)", flush=True)
+          f"({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
     explain_rate, sweep_rate = bench_explainer(ds, g, feats)
     print(f"  explainer: {explain_rate:,.0f} ev/s, sweep {sweep_rate:,.0f} "
-          f"ev/s ({time.time() - t0:.0f}s)", flush=True)
+          f"ev/s ({time.time() - t0:.0f}s)", file=sys.stderr, flush=True)
 
     payload = {
         "metric": "tgn_train_events_per_s",

@@ -22,8 +22,17 @@ from . import loops
 
 
 def make_tgn_train_step(model, g_train, feats, dst_table, n, optimizer):
+    """The jitted step takes the graph as a RUNTIME argument (bound below),
+    not a closure constant: closed-over CSR tables are baked into the
+    serialized program as constants, which caps graph size at whatever the
+    compile transport accepts (reddit-scale CSR ~20 MB blew the limit) and
+    bloats every recompile. Feature tables ride along for the same reason
+    (reddit-scale edge features are ~460 MB). `step.with_tables` /
+    `step.tables` expose the unbound form so epoch scans can thread the
+    same runtime arguments."""
     @jax.jit
-    def step(state: loops.TrainState, mem, batch: loops.Batch):
+    def _step(g_train, feats, state: loops.TrainState, mem,
+              batch: loops.Batch):
         key, k_samp, k_drop = jax.random.split(state.key, 3)
         # padded rows (drop_remainder=False) route to the padding node so
         # they cannot store real messages; row 0 is scrubbed below
@@ -56,6 +65,11 @@ def make_tgn_train_step(model, g_train, feats, dst_table, n, optimizer):
         return (loops.TrainState(params, opt_state, key), new_mem,
                 {"loss": loss, "pos": pos.squeeze(-1), "neg": neg.squeeze(-1)})
 
+    def step(state, mem, batch):
+        return _step(g_train, feats, state, mem, batch)
+
+    step.with_tables = _step
+    step.tables = (g_train, feats)
     return step
 
 

@@ -177,6 +177,28 @@ def make_base_train_epoch(step_fn):
 
 
 def make_tgn_train_epoch(step_fn):
+    # When the step exposes its graph/feature tables (make_tgn_train_step),
+    # thread them as runtime arguments of the epoch program too — otherwise
+    # the scan body re-embeds them as serialized-program constants, which is
+    # exactly what the unbound step form exists to avoid (large graphs).
+    inner = getattr(step_fn, "with_tables", None)
+    if inner is not None:
+        tables = step_fn.tables
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def epoch_t(g, feats, state, mem, batches: Batch):
+            def body(carry, batch):
+                state, mem = carry
+                state, mem, aux = inner(g, feats, state, mem, batch)
+                return (state, mem), aux
+            (state, mem), auxs = jax.lax.scan(body, (state, mem), batches)
+            return state, mem, auxs
+
+        def epoch(state, mem, batches):
+            return epoch_t(*tables, state, mem, batches)
+
+        return epoch
+
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch(state, mem, batches: Batch):
         def body(carry, batch):

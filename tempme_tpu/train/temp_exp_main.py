@@ -46,12 +46,18 @@ from .base_loader import LoadedBase, load_base
 # base-model contrast dispatch (frozen base, no memory updates)
 # ---------------------------------------------------------------------------
 
-def make_base_contrast(base: LoadedBase, feats: Features):
+def make_base_contrast(base: LoadedBase, feats: Features = None):
     """Returns contrast(src, tgt, bgd, ts, eidx, subs, explain) -> (pos, neg),
     with the base frozen and (for TGN) forbidden_memory_update semantics
-    (temp_exp_main.py:703-704)."""
+    (temp_exp_main.py:703-704).
+
+    With ``feats=None`` the returned function takes the feature tables as its
+    FIRST runtime argument instead of closing over them — closure tables are
+    baked into the serialized program as constants, which caps dataset size
+    (reddit-scale edge features are ~460 MB; see make_tgn_train_step)."""
     if base.base_type == "tgn":
-        def contrast(src, tgt, bgd, ts, eidx, s_src, s_tgt, s_bgd, explain):
+        def contrast_f(feats, src, tgt, bgd, ts, eidx, s_src, s_tgt, s_bgd,
+                       explain):
             ew = None
             if explain is not None:
                 b = src.shape[0]
@@ -64,7 +70,8 @@ def make_base_contrast(base: LoadedBase, feats: Features):
                 deterministic=True, method=type(base.model).contrast)
             return pos, neg
     elif base.base_type == "graphmixer":
-        def contrast(src, tgt, bgd, ts, eidx, s_src, s_tgt, s_bgd, explain):
+        def contrast_f(feats, src, tgt, bgd, ts, eidx, s_src, s_tgt, s_bgd,
+                       explain):
             ew = None
             if explain is not None:
                 ew = tuple(jnp.split(explain[0], 3, axis=0))
@@ -74,7 +81,8 @@ def make_base_contrast(base: LoadedBase, feats: Features):
                 method=type(base.model).contrast)
             return pos, neg
     elif base.base_type == "tgat":
-        def contrast(src, tgt, bgd, ts, eidx, s_src, s_tgt, s_bgd, explain):
+        def contrast_f(feats, src, tgt, bgd, ts, eidx, s_src, s_tgt, s_bgd,
+                       explain):
             ew = None
             if explain is not None:
                 # explain: list over hops of [3B, width] -> TGAT pair-of-pairs
@@ -93,6 +101,12 @@ def make_base_contrast(base: LoadedBase, feats: Features):
             return pos, neg
     else:
         raise ValueError(base.base_type)
+    if feats is None:
+        return contrast_f
+
+    def contrast(*args):
+        return contrast_f(feats, *args)
+
     return contrast
 
 
