@@ -147,13 +147,26 @@ def bench_large_shapes(explain=True):
         print(f"  {name}: tgn train {row['tgn_train_events_per_s']:,} ev/s "
               f"(max_degree={row['max_degree']})", flush=True)
         if explain:
-            tr, sw = bench_explainer(ds, g, feats, n_degree=cfg["n_degree"],
-                                     max_steps=40)
-            row["tempme_explain_train_events_per_s"] = round(float(tr), 1)
-            row["tempme_ratio_sweep_eval_events_per_s"] = round(float(sw), 1)
-            print(f"  {name}: explainer {tr:,.0f} ev/s, sweep {sw:,.0f} ev/s",
-                  flush=True)
+            try:
+                tr, sw = bench_explainer(ds, g, feats,
+                                         n_degree=cfg["n_degree"],
+                                         max_steps=40)
+                row["tempme_explain_train_events_per_s"] = round(float(tr), 1)
+                row["tempme_ratio_sweep_eval_events_per_s"] = round(
+                    float(sw), 1)
+                print(f"  {name}: explainer {tr:,.0f} ev/s, "
+                      f"sweep {sw:,.0f} ev/s", flush=True)
+            except Exception as e:  # noqa: BLE001 — emit partial rows
+                row["explainer_error"] = f"{type(e).__name__}: {e}"[:300]
+                print(f"  {name}: explainer bench failed "
+                      f"({row['explainer_error'][:80]})", flush=True)
         rows[name] = row
+    try:
+        os.makedirs("results", exist_ok=True)
+        with open("results/bench_large_shapes.json", "w") as f:
+            json.dump(rows, f, indent=1)
+    except OSError:
+        pass
     return rows
 
 
